@@ -1,0 +1,39 @@
+"""Test harness configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh BEFORE jax initializes, so the
+multi-chip sharding paths are exercised without TPU hardware (SURVEY §4:
+multi-device simulation via a fake-device mesh). Must run before any module
+imports jax.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xD1507)
+
+
+def make_compressible(n: int, rng=None) -> np.ndarray:
+    """Synthetic compressible corpus: repeated JSON-ish event records
+    (benchmark/src/base/benchUtils.js:7-22 analog)."""
+    rng = rng or np.random.default_rng(42)
+    record = (b'{"ts":1700000000,"level":"info","service":"api-gateway",'
+              b'"msg":"request completed","status":200,"latency_ms":42,'
+              b'"path":"/v1/users/12345","trace":"abcdef0123456789"}\n')
+    reps = -(-n // len(record))
+    return np.frombuffer((record * reps)[:n], dtype=np.uint8)
+
+
+@pytest.fixture
+def compressible():
+    return make_compressible
