@@ -1,0 +1,323 @@
+// Native host kernels for divortio_lz4_tpu.
+//
+// C++ implementations of the LZ4 block codec and xxHash32 with the exact
+// semantics of the Python oracle (ops/block_ref.py), which in turn matches
+// the reference encoder's greedy parse + acceleration heuristic
+// (/root/reference/src/block/blockCompress.js) so compressed output is
+// byte-identical across tiers. These are the production HOST path — staging,
+// CLI-grade interop, and the data loader for the TPU path; device compute is
+// JAX/XLA/Pallas.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// xxHash32
+// ---------------------------------------------------------------------------
+
+static const uint32_t P1 = 2654435761u;
+static const uint32_t P2 = 2246822519u;
+static const uint32_t P3 = 3266489917u;
+static const uint32_t P4 = 668265263u;
+static const uint32_t P5 = 374761393u;
+
+static inline uint32_t rotl32(uint32_t x, int r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+static inline uint32_t xxh_round(uint32_t acc, uint32_t lane) {
+  acc += lane * P2;
+  return rotl32(acc, 13) * P1;
+}
+
+static inline uint32_t read32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);  // little-endian hosts only (x86/ARM LE)
+  return v;
+}
+
+uint32_t lz4t_xxhash32(const uint8_t* buf, int64_t len, uint32_t seed) {
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+  uint32_t h32;
+  if (len >= 16) {
+    const uint8_t* limit = end - 16;
+    uint32_t v1 = seed + P1 + P2;
+    uint32_t v2 = seed + P2;
+    uint32_t v3 = seed;
+    uint32_t v4 = seed - P1;
+    do {
+      v1 = xxh_round(v1, read32(p));
+      v2 = xxh_round(v2, read32(p + 4));
+      v3 = xxh_round(v3, read32(p + 8));
+      v4 = xxh_round(v4, read32(p + 12));
+      p += 16;
+    } while (p <= limit);
+    h32 = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+  } else {
+    h32 = seed + P5;
+  }
+  h32 += (uint32_t)len;
+  while (p + 4 <= end) {
+    h32 += read32(p) * P3;
+    h32 = rotl32(h32, 17) * P4;
+    p += 4;
+  }
+  while (p < end) {
+    h32 += (*p) * P5;
+    h32 = rotl32(h32, 11) * P1;
+    p += 1;
+  }
+  h32 ^= h32 >> 15;
+  h32 *= P2;
+  h32 ^= h32 >> 13;
+  h32 *= P3;
+  h32 ^= h32 >> 16;
+  return h32;
+}
+
+// Bulk stripe processing for the streaming hasher: consumes nwords/4 full
+// stripes, updating v[0..3] in place.
+void lz4t_xxh32_round4(uint32_t* v, const uint32_t* words, int64_t nwords) {
+  uint32_t v1 = v[0], v2 = v[1], v3 = v[2], v4 = v[3];
+  int64_t n = (nwords / 4) * 4;
+  for (int64_t i = 0; i < n; i += 4) {
+    v1 = xxh_round(v1, words[i]);
+    v2 = xxh_round(v2, words[i + 1]);
+    v3 = xxh_round(v3, words[i + 2]);
+    v4 = xxh_round(v4, words[i + 3]);
+  }
+  v[0] = v1; v[1] = v2; v[2] = v3; v[3] = v4;
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block compress
+// ---------------------------------------------------------------------------
+
+static const int MIN_MATCH = 4;
+static const int LAST_LITERALS = 5;
+static const int MF_LIMIT = 12;
+static const int HASH_SHIFT = 18;
+static const uint32_t HASH_MASK = 16383;
+static const uint32_t HASH_MULT = 2654435761u;
+static const int SKIP_TRIGGER = 6;
+
+static inline uint32_t lz4_hash(uint32_t seq) {
+  return (seq * HASH_MULT) >> HASH_SHIFT & HASH_MASK;
+}
+
+// Insert positions [0, limit-4] of buf into table (stored as pos+1).
+// Dictionary warm-up with the ONE true hash (the reference's warm-up uses a
+// mismatched Jenkins hash, bufferCompress.js:194-201 — fixed here).
+void lz4t_warm_table(int32_t* table, const uint8_t* buf, int64_t limit) {
+  for (int64_t i = 0; i + MIN_MATCH <= limit; i++) {
+    table[lz4_hash(read32(buf + i))] = (int32_t)(i + 1);
+  }
+}
+
+// Greedy LZ4 block compress; returns bytes written at dst+dst_off.
+// Semantics: blockCompress.js:31-232 (hash table stores pos+1; acceleration
+// stride grows every 64 misses; forward-only extension to src_end-5;
+// token + 0xFF-run lengths; 2-byte LE offset; tail literals).
+int64_t lz4t_compress_block(const uint8_t* src, uint8_t* dst,
+                            int64_t src_start, int64_t src_len,
+                            int32_t* table, int64_t dst_off) {
+  int64_t s = src_start;
+  const int64_t s_end = src_start + src_len;
+  const int64_t mf_limit = s_end - MF_LIMIT;
+  const int64_t match_limit = s_end - LAST_LITERALS;
+  int64_t d = dst_off;
+  int64_t anchor = s;
+  int search_count = (1 << SKIP_TRIGGER) + 3;
+
+  while (s < mf_limit) {
+    uint32_t seq = read32(src + s);
+    uint32_t h = lz4_hash(seq);
+    int64_t m = (int64_t)table[h] - 1;
+    table[h] = (int32_t)(s + 1);
+
+    if (m < 0 || s == m || (s - m) >= 65536 || read32(src + m) != seq) {
+      s += search_count++ >> SKIP_TRIGGER;
+      continue;
+    }
+    search_count = (1 << SKIP_TRIGGER) + 3;
+
+    // Literal run since the anchor.
+    int64_t lit_len = s - anchor;
+    int64_t token_pos = d++;
+    if (lit_len >= 15) {
+      dst[token_pos] = 0xF0;
+      int64_t l = lit_len - 15;
+      while (l >= 255) { dst[d++] = 255; l -= 255; }
+      dst[d++] = (uint8_t)l;
+    } else {
+      dst[token_pos] = (uint8_t)(lit_len << 4);
+    }
+    if (lit_len > 0) {
+      std::memcpy(dst + d, src + anchor, (size_t)lit_len);
+      d += lit_len;
+    }
+
+    // Extend the match forward.
+    int64_t sp = s + MIN_MATCH;
+    int64_t mp = m + MIN_MATCH;
+    // Word-at-a-time fast path, then byte tail.
+    while (sp + 8 <= match_limit) {
+      uint64_t a, b;
+      std::memcpy(&a, src + sp, 8);
+      std::memcpy(&b, src + mp, 8);
+      uint64_t diff = a ^ b;
+      if (diff) {
+        sp += __builtin_ctzll(diff) >> 3;
+        goto match_done;
+      }
+      sp += 8;
+      mp += 8;
+    }
+    while (sp < match_limit && src[sp] == src[mp]) { sp++; mp++; }
+  match_done:;
+    {
+      int64_t match_len = sp - s;
+      int64_t offset = s - m;
+      dst[d++] = (uint8_t)(offset & 0xFF);
+      dst[d++] = (uint8_t)((offset >> 8) & 0xFF);
+      int64_t code = match_len - MIN_MATCH;
+      if (code >= 15) {
+        dst[token_pos] |= 0x0F;
+        int64_t l = code - 15;
+        while (l >= 255) { dst[d++] = 255; l -= 255; }
+        dst[d++] = (uint8_t)l;
+      } else {
+        dst[token_pos] |= (uint8_t)code;
+      }
+      s = sp;
+      anchor = sp;
+    }
+  }
+
+  // Trailing literal run.
+  {
+    int64_t lit_len = s_end - anchor;
+    int64_t token_pos = d++;
+    if (lit_len >= 15) {
+      dst[token_pos] = 0xF0;
+      int64_t l = lit_len - 15;
+      while (l >= 255) { dst[d++] = 255; l -= 255; }
+      dst[d++] = (uint8_t)l;
+    } else {
+      dst[token_pos] = (uint8_t)(lit_len << 4);
+    }
+    if (lit_len > 0) {
+      std::memcpy(dst + d, src + anchor, (size_t)lit_len);
+      d += lit_len;
+    }
+  }
+  return d - dst_off;
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block decompress
+// ---------------------------------------------------------------------------
+
+// Error codes (translated to typed Python exceptions by the ctypes wrapper).
+static const int64_t ERR_OUTPUT_SMALL = -1;   // "Output Buffer Too Small"
+static const int64_t ERR_MALFORMED = -2;      // "Malformed Input"
+static const int64_t ERR_OFFSET0 = -3;        // "Invalid Offset 0"
+static const int64_t ERR_DICT_OOB = -4;       // "Dictionary Offset Out of Bounds"
+
+// Sequence interpreter with dictionary back-references
+// (blockDecompress.js:55-272). dst_cap is the full output buffer length;
+// back-references below index 0 read the dictionary from its END; a match
+// may span dictionary into output.
+int64_t lz4t_decompress_block(const uint8_t* src, int64_t src_off,
+                              int64_t src_len, uint8_t* dst, int64_t dst_cap,
+                              int64_t dst_off, const uint8_t* dict,
+                              int64_t dict_len) {
+  int64_t p = src_off;
+  const int64_t end = src_off + src_len;
+  int64_t o = dst_off;
+
+  while (p < end) {
+    uint32_t token = src[p++];
+    int64_t lit_len = token >> 4;
+    if (lit_len == 15) {
+      uint32_t b;
+      do {
+        if (p >= end) return ERR_MALFORMED;
+        b = src[p++];
+        lit_len += b;
+      } while (b == 255);
+    }
+    if (o + lit_len > dst_cap) return ERR_OUTPUT_SMALL;
+    if (p + lit_len > end) return ERR_MALFORMED;
+    if (lit_len) {
+      std::memcpy(dst + o, src + p, (size_t)lit_len);
+      o += lit_len;
+      p += lit_len;
+    }
+    if (p >= end) break;
+
+    if (p + 2 > end) return ERR_MALFORMED;
+    int64_t offset = src[p] | (src[p + 1] << 8);
+    p += 2;
+    if (offset == 0) return ERR_OFFSET0;
+
+    int64_t match_len = token & 0x0F;
+    if (match_len == 15) {
+      uint32_t b;
+      do {
+        if (p >= end) return ERR_MALFORMED;
+        b = src[p++];
+        match_len += b;
+      } while (b == 255);
+    }
+    match_len += MIN_MATCH;
+    if (o + match_len > dst_cap) return ERR_OUTPUT_SMALL;
+
+    int64_t cs = o - offset;
+    if (cs < 0) {
+      // Dictionary back-reference, dict indexed from its end.
+      int64_t from_dict = -cs;
+      int64_t dict_start = dict_len - from_dict;
+      int64_t take = from_dict < match_len ? from_dict : match_len;
+      if (dict_start < 0 || dict_start + take > dict_len) return ERR_DICT_OOB;
+      std::memcpy(dst + o, dict + dict_start, (size_t)take);
+      o += take;
+      int64_t remaining = match_len - take;
+      int64_t rp = o - offset;
+      while (remaining--) dst[o++] = dst[rp++];
+    } else if (offset >= match_len) {
+      // Non-overlapping: plain memcpy.
+      std::memcpy(dst + o, dst + cs, (size_t)match_len);
+      o += match_len;
+    } else if (offset == 1) {
+      // RLE.
+      std::memset(dst + o, dst[cs], (size_t)match_len);
+      o += match_len;
+    } else {
+      // Overlapping (offset < match_len): period-doubling copy. After each
+      // memcpy the contiguous periodic run starting at cs doubles, so the
+      // whole match completes in O(log(match_len/offset)) non-overlapping
+      // memcpys instead of a byte loop (the reference's blockDecompress.js
+      // uses unrolled byte loops here, :219-268).
+      int64_t remaining = match_len;
+      int64_t avail = offset;
+      int64_t dp = o;
+      while (remaining > 0) {
+        int64_t c = avail < remaining ? avail : remaining;
+        std::memcpy(dst + dp, dst + cs, (size_t)c);
+        dp += c;
+        remaining -= c;
+        avail += c;
+      }
+      o += match_len;
+    }
+  }
+  return o - dst_off;
+}
+
+}  // extern "C"
