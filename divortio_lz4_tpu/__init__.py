@@ -52,7 +52,8 @@ def __getattr__(name):
     # cheap (streaming/async/worker pull in threading/asyncio; parallel pulls
     # in jax).
     if name in ("LZ4Encoder", "LZ4Decoder", "create_compress_stream",
-                "create_decompress_stream"):
+                "create_decompress_stream", "CompressStream",
+                "DecompressStream", "compress_file", "decompress_file"):
         from . import stream
         return getattr(stream, name)
     if name in ("compress_async", "decompress_async",
