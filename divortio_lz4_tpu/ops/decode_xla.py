@@ -1,0 +1,178 @@
+"""TPU LZ4 block decode — two-phase, fully vectorized (JAX/XLA).
+
+The reference decoder is a byte-serial sequence interpreter
+(/root/reference/src/block/blockDecompress.js:55-272). A TPU has wide vector
+units and no fast scalar byte loop, so this kernel re-derives the SAME wire
+semantics as data-parallel passes (SURVEY §7 Phase 1, "two-phase decode"):
+
+Phase A — token-graph parse.
+  For EVERY input byte position i, speculatively compute "if a sequence
+  started here": literal length (with 0xFF-run extension), offset, match
+  length, and the position of the next sequence. 0xFF-run lengths come from
+  one reverse cumulative-min pass. The true sequence starts are the orbit of
+  position 0 under the next() map, materialized by pointer doubling
+  (log2(M) rounds of gather+scatter) — no data-dependent loop.
+
+Phase B — source-chasing copy.
+  Each output byte's provenance is either a literal (input index) or a match
+  back-pointer (output index j-offset, possibly negative into the history
+  window). Back-pointer chains (overlaps, RLE) are resolved by pointer
+  doubling in log2(B) gather rounds, then one final gather materializes the
+  bytes. This replaces the reference's overlap-aware copy loops
+  (blockDecompress.js:204-268) with O(log) vector passes.
+
+Exactness: bit-exact output for any valid LZ4 block, including dictionary
+back-references and matches spanning history into output. Invalid input is
+NOT diagnosed on device (indices clip); validate frames on host or via
+checksums before device decode.
+
+Shapes are static: comp padded to M, history right-aligned in a 64 KB
+buffer, output padded to B. Batch via jax.vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import WINDOW_SIZE
+
+
+def _ceil_log2(n: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
+                 out_cap: int):
+    """Decode one LZ4 block.
+
+    Args:
+      comp: int32[M] compressed bytes (0..255), padded arbitrarily past
+        comp_len. M is static.
+      comp_len: scalar int32, actual compressed size.
+      hist: int32[WINDOW_SIZE] history window, RIGHT-aligned (hist[-k] is the
+        byte k back from the block start); zeros when no history.
+      out_cap: static output capacity (the frame's block size).
+
+    Returns:
+      (out, out_len): int32[out_cap] decoded bytes and the scalar count.
+    """
+    M = comp.shape[0]
+    B = out_cap
+    idx = jnp.arange(M, dtype=jnp.int32)
+
+    take = functools.partial(jnp.take, mode="clip")
+
+    # ---- Phase A: speculative per-position sequence parse ----
+    # Run-length of consecutive 0xFF bytes starting at each position, via the
+    # next-non-0xFF index (reverse cumulative min).
+    non_ff_pos = jnp.where(comp != 255, idx, M)
+    next_non_ff = jax.lax.cummin(non_ff_pos, axis=0, reverse=True)
+    r255 = next_non_ff - idx  # #consecutive 0xFF at idx
+
+    tok = comp
+    lit_nib = tok >> 4
+    match_nib = tok & 0x0F
+
+    r_l = take(r255, idx + 1)
+    has_lit_ext = lit_nib == 15
+    ext_l = jnp.where(has_lit_ext, r_l + 1, 0)
+    lit_len = lit_nib + jnp.where(
+        has_lit_ext, 255 * r_l + take(comp, idx + 1 + r_l), 0)
+    lit_start = idx + 1 + ext_l
+    after_lit = lit_start + lit_len
+    terminal = after_lit >= comp_len
+
+    offset = take(comp, after_lit) + 256 * take(comp, after_lit + 1)
+    mes = after_lit + 2
+    r_m = take(r255, mes)
+    has_m_ext = match_nib == 15
+    ext_m = jnp.where(has_m_ext, r_m + 1, 0)
+    match_len = 4 + match_nib + jnp.where(
+        has_m_ext, 255 * r_m + take(comp, mes + r_m), 0)
+
+    nxt = jnp.where(terminal, idx, mes + ext_m)
+    nxt = jnp.clip(nxt, 0, M - 1)
+    nxt = jnp.where(idx >= comp_len, idx, nxt)
+
+    # Orbit of position 0 under nxt(): pointer doubling with reachability
+    # scatter. After round k, reach = positions reachable in < 2^k steps.
+    reach = ((idx == 0) & (comp_len > 0)).astype(jnp.int32)
+    jump = nxt
+
+    def orbit_round(_, st):
+        reach, jump = st
+        prop = jnp.zeros(M, jnp.int32).at[jump].max(reach, mode="drop")
+        reach = jnp.maximum(reach, prop)
+        jump = take(jump, jump)
+        return reach, jump
+
+    reach, _ = jax.lax.fori_loop(0, _ceil_log2(M), orbit_round, (reach, jump))
+    is_seq = (reach > 0) & (idx < comp_len)
+
+    out_adv = jnp.where(
+        is_seq, lit_len + jnp.where(terminal, 0, match_len), 0)
+    out_pos = jnp.cumsum(out_adv) - out_adv  # exclusive prefix
+    out_len = jnp.sum(out_adv)
+
+    # ---- Phase B: provenance map over output bytes ----
+    jB = jnp.arange(B, dtype=jnp.int32)
+    drop = B  # out-of-range scatter target (mode="drop")
+
+    lit_zone = jnp.where(is_seq & (lit_len > 0), out_pos, drop)
+    mat_zone = jnp.where(is_seq & (~terminal), out_pos + lit_len, drop)
+
+    tag = (jnp.zeros(B, jnp.int32)
+           .at[lit_zone].set(1, mode="drop")
+           .at[mat_zone].set(2, mode="drop"))
+    cval = (jnp.zeros(B, jnp.int32)
+            .at[lit_zone].set(lit_start - out_pos, mode="drop")
+            .at[mat_zone].set(-offset, mode="drop"))
+
+    marker = jnp.where(tag > 0, jB, -1)
+    fill = jax.lax.cummax(marker, axis=0)
+    fill_c = jnp.clip(fill, 0, B - 1)
+    tag_f = take(tag, fill_c)
+    c_f = take(cval, fill_c)
+
+    # Back-pointer graph: literals are fixpoints; match bytes point j-offset
+    # (negative = history). hist is right-aligned so index = WINDOW + g.
+    g = jnp.where(tag_f == 1, jB, jB + c_f)
+
+    def chase_round(_, g):
+        g2 = take(g, jnp.clip(g, 0, B - 1))
+        return jnp.where(g < 0, g, g2)
+
+    g = jax.lax.fori_loop(0, _ceil_log2(B), chase_round, g)
+
+    # Input index of each output byte's originating literal.
+    lit_in_idx = jB + c_f  # valid only where tag_f == 1
+    src_in = take(lit_in_idx, jnp.clip(g, 0, B - 1))
+    from_hist = take(hist, jnp.clip(WINDOW_SIZE + g, 0, WINDOW_SIZE - 1))
+    out = jnp.where(g >= 0, take(comp, src_in), from_hist)
+    out = jnp.where(jB < out_len, out, 0)
+    return out, out_len
+
+
+# Batched variant: decode many independent blocks at once.
+decode_blocks_batch = jax.jit(
+    jax.vmap(decode_block, in_axes=(0, 0, 0, None)),
+    static_argnames=("out_cap",),
+)
+
+
+def decode_block_host(comp_bytes: np.ndarray, out_cap: int,
+                      history: np.ndarray | None = None) -> np.ndarray:
+    """Convenience host wrapper: numpy bytes in → numpy bytes out."""
+    m = len(comp_bytes)
+    comp = jnp.asarray(comp_bytes.astype(np.int32))
+    hist = np.zeros(WINDOW_SIZE, dtype=np.int32)
+    if history is not None and len(history) > 0:
+        h = history[-WINDOW_SIZE:]
+        hist[WINDOW_SIZE - len(h):] = h
+    out, out_len = decode_block(comp, jnp.int32(m), jnp.asarray(hist), out_cap)
+    return np.asarray(out[: int(out_len)], dtype=np.int64).astype(np.uint8)
