@@ -165,14 +165,27 @@ decode_blocks_batch = jax.jit(
 )
 
 
+def _bucket(n: int, floor: int = 1024) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
 def decode_block_host(comp_bytes: np.ndarray, out_cap: int,
                       history: np.ndarray | None = None) -> np.ndarray:
-    """Convenience host wrapper: numpy bytes in → numpy bytes out."""
+    """Convenience host wrapper: numpy bytes in → numpy bytes out.
+
+    Pads the compressed input to a power-of-two bucket (comp_len stays
+    dynamic) so repeated calls reuse the compiled kernel.
+    """
     m = len(comp_bytes)
-    comp = jnp.asarray(comp_bytes.astype(np.int32))
+    comp = np.zeros(_bucket(m), dtype=np.int32)
+    comp[:m] = comp_bytes
     hist = np.zeros(WINDOW_SIZE, dtype=np.int32)
     if history is not None and len(history) > 0:
         h = history[-WINDOW_SIZE:]
         hist[WINDOW_SIZE - len(h):] = h
-    out, out_len = decode_block(comp, jnp.int32(m), jnp.asarray(hist), out_cap)
+    out, out_len = decode_block(jnp.asarray(comp), jnp.int32(m),
+                                jnp.asarray(hist), out_cap)
     return np.asarray(out[: int(out_len)], dtype=np.int64).astype(np.uint8)
