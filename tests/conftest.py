@@ -8,7 +8,9 @@ imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points at real TPU hardware
+# (JAX_PLATFORMS=axon): the suite must exercise the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 import numpy as np
 import pytest
+
+# The environment's site hook registers the real-TPU backend and overrides
+# jax_platforms at interpreter start; force it back to CPU before any
+# backend initializes so the suite runs on the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the XLA codec kernels are large graphs; caching
 # amortizes their compile time across test runs.
