@@ -69,6 +69,9 @@ def build_corpus(size: int, seed: int = 0x51E51A) -> np.ndarray:
     return corpus[:size]
 
 
+CHUNK_ROWS = 64  # canonical batch shape: one compile serves any corpus size
+
+
 def bench_device(corpus: np.ndarray, block_size: int, runs: int):
     import jax
     import jax.numpy as jnp
@@ -82,52 +85,66 @@ def bench_device(corpus: np.ndarray, block_size: int, runs: int):
 
     n = len(corpus)
     nb = -(-n // block_size)
-    work = np.zeros((nb, block_size), np.int32)
-    lens = np.full(nb, block_size, np.int32)
-    flat = np.zeros(nb * block_size, np.int32)
+    nchunks = -(-nb // CHUNK_ROWS)
+    rows = nchunks * CHUNK_ROWS
+    flat = np.zeros(rows * block_size, np.int32)
     flat[:n] = corpus
-    work[:] = flat.reshape(nb, block_size)
-    lens[-1] = n - (nb - 1) * block_size
+    work = flat.reshape(rows, block_size)
+    lens = np.zeros(rows, np.int32)
+    lens[:nb] = block_size
+    lens[nb - 1] = n - (nb - 1) * block_size
 
-    d_work = jax.device_put(jnp.asarray(work))
-    d_lens = jax.device_put(jnp.asarray(lens))
-    d_hist0 = jax.device_put(jnp.zeros(nb, jnp.int32))
+    d_work = [jax.device_put(jnp.asarray(
+        work[i * CHUNK_ROWS:(i + 1) * CHUNK_ROWS])) for i in range(nchunks)]
+    d_lens = [jax.device_put(jnp.asarray(
+        lens[i * CHUNK_ROWS:(i + 1) * CHUNK_ROWS])) for i in range(nchunks)]
+    d_h0 = jax.device_put(jnp.zeros(CHUNK_ROWS, jnp.int32))
 
     def enc():
-        return encode_blocks_batch(d_work, d_lens, 0, True, d_hist0)
+        return [encode_blocks_batch(w, l, 0, True, d_h0)
+                for w, l in zip(d_work, d_lens)]
 
-    outs, out_lens = jax.block_until_ready(enc())  # compile + warm
+    enc_res = jax.block_until_ready(enc())  # compile + warm
     t_enc = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        outs, out_lens = jax.block_until_ready(enc())
+        enc_res = jax.block_until_ready(enc())
         t_enc.append(time.perf_counter() - t0)
 
-    # Build the decode batch from the encoder's own output (on device).
+    # Build the decode batches from the encoder's own output (on device).
     m_cap = block_bound(block_size)
-    comp = jnp.asarray(outs)[:, :m_cap]
-    d_hist = jax.device_put(jnp.zeros((nb, WINDOW_SIZE), jnp.int32))
+    comps = [o[:, :m_cap] for o, _ in enc_res]
+    clens = [l for _, l in enc_res]
+    d_hist = jax.device_put(jnp.zeros((CHUNK_ROWS, WINDOW_SIZE), jnp.int32))
 
     def dec():
-        return decode_blocks_batch(comp, out_lens, d_hist, block_size)
+        return [decode_blocks_batch(c, l, d_hist, block_size)
+                for c, l in zip(comps, clens)]
 
-    dec_out, dec_lens = jax.block_until_ready(dec())
+    dec_res = jax.block_until_ready(dec())
     t_dec = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        dec_out, dec_lens = jax.block_until_ready(dec())
+        dec_res = jax.block_until_ready(dec())
         t_dec.append(time.perf_counter() - t0)
 
     # Round-trip verification.
-    dec_np = np.asarray(dec_out)
     ok = True
-    for i in range(nb):
-        li = int(lens[i])
-        if int(dec_lens[i]) != li or not np.array_equal(
-                dec_np[i, :li].astype(np.uint8), work[i, :li].astype(np.uint8)):
-            ok = False
+    for ci in range(nchunks):
+        dec_np = np.asarray(dec_res[ci][0])
+        dec_lens = np.asarray(dec_res[ci][1])
+        base = ci * CHUNK_ROWS
+        for r in range(CHUNK_ROWS):
+            li = int(lens[base + r])
+            if int(dec_lens[r]) != li or not np.array_equal(
+                    dec_np[r, :li].astype(np.uint8),
+                    work[base + r, :li].astype(np.uint8)):
+                ok = False
+                break
+        if not ok:
             break
-    comp_bytes = int(np.asarray(out_lens).sum()) + 4 * nb + 11
+    comp_bytes = int(sum(int(np.asarray(l).sum()) for l in clens)) \
+        + 4 * nb + 11
     return (float(np.median(t_enc)), float(np.median(t_dec)), comp_bytes, ok,
             jax.devices()[0].platform)
 

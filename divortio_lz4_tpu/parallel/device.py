@@ -51,6 +51,28 @@ def _blocks_to_batch(raw: np.ndarray, block_size: int):
     return work, lens, nblocks
 
 
+def _frame_header_bytes(config: FrameConfig, n: int) -> np.ndarray:
+    """Build the frame header (magic..header checksum) for the device path."""
+    hdr = np.empty(19, np.uint8)
+    hdr[0:4] = (0x04, 0x22, 0x4D, 0x18)
+    flg = (LZ4_VERSION << 6) | 0x20  # independent
+    if config.content_checksum:
+        flg |= FLG_CONTENT_CHECKSUM
+    if config.block_checksums:
+        flg |= FLG_BLOCK_CHECKSUM
+    if config.content_size:
+        flg |= FLG_CONTENT_SIZE
+    hdr[4] = flg
+    hdr[5] = (config.block_id & 0x07) << 4
+    pos = 6
+    if config.content_size:
+        write_u32le(hdr, pos, n & 0xFFFFFFFF)
+        write_u32le(hdr, pos + 4, n >> 32)
+        pos += 8
+    hdr[pos] = (xxhash32(hdr[4:pos], 0) >> 8) & 0xFF
+    return hdr[: pos + 1]
+
+
 def device_compress_frame(data,
                           config: FrameConfig = DEFAULT_CONFIG,
                           use_fingerprints: Optional[bool] = None,
@@ -77,7 +99,26 @@ def device_compress_frame(data,
         def encode_batch(w, l):
             return encode_blocks_batch(w, l, 0, use_fingerprints,
                                        jnp.zeros(w.shape[0], jnp.int32))
-    outs, out_lens = encode_batch(jnp.asarray(work), jnp.asarray(lens))
+    d_work = jnp.asarray(work)
+    outs, out_lens = encode_batch(d_work, jnp.asarray(lens))
+
+    if not config.block_checksums and n > 0:
+        # Fast path: stitch size words + payloads (incl. stored fallback and
+        # EndMark) on device; only the tiny header is host work.
+        from ..ops.assemble_xla import assemble_blocks
+        cap = nblocks * (4 + bs) + 4
+        body, body_total = assemble_blocks(
+            jnp.asarray(outs), jnp.asarray(out_lens), d_work,
+            jnp.asarray(lens), cap)
+        body_np = np.asarray(body[: int(body_total)]).astype(np.uint8)
+        header = _frame_header_bytes(config, n)
+        parts = [header, body_np]
+        if config.content_checksum:
+            ck = np.empty(4, np.uint8)
+            write_u32le(ck, 0, xxhash32(raw, 0))
+            parts.append(ck)
+        return np.concatenate(parts)
+
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
 
@@ -229,6 +270,14 @@ def _decode_independent(buf, blocks, bs, decode_batch=None) -> np.ndarray:
             return decode_blocks_batch(c, l, h, bs)
     outs, out_lens = decode_batch(jnp.asarray(comp), jnp.asarray(lens),
                                   jnp.asarray(hist))
+
+    if not stored_rows:
+        # Fast path: drop row padding on device, one contiguous result.
+        from ..ops.assemble_xla import concat_blocks
+        flat, total = concat_blocks(jnp.asarray(outs), jnp.asarray(out_lens),
+                                    nb * bs)
+        return np.asarray(flat[: int(total)]).astype(np.uint8)
+
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     parts = []
