@@ -154,6 +154,36 @@ class LZ4Encoder:
     # Alias for drop-in familiarity with the reference's test-suite name.
     update = add
 
+    # -- checkpoint/resume ---------------------------------------------------
+    # The carried streaming state is exactly {pending input, 64KB window,
+    # hasher, framing flags} (SURVEY §5.4); snapshots are plain dicts safe
+    # to pickle/JSON-encode (bytes fields) for session migration.
+
+    def state_dict(self) -> dict:
+        return {
+            "config": self.config.__dict__.copy(),
+            "pending": bytes(self._pending),
+            "header_sent": self._header_sent,
+            "finished": self._finished,
+            "dict_id": self._dict_id,
+            "history": self._history,
+            "hasher": self._hasher.state_dict() if self._hasher else None,
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, backend: Optional[str] = None
+                   ) -> "LZ4Encoder":
+        cfg = FrameConfig(**state["config"])
+        enc = cls(cfg, None, backend)
+        enc._pending = bytearray(state["pending"])
+        enc._header_sent = state["header_sent"]
+        enc._finished = state["finished"]
+        enc._dict_id = state["dict_id"]
+        enc._history = state["history"]
+        if state["hasher"] is not None:
+            enc._hasher = XXHash32.from_state(state["hasher"])
+        return enc
+
     def finish(self) -> List[bytes]:
         """Flush remaining data, EndMark, and optional content checksum."""
         if self._finished:
@@ -343,6 +373,37 @@ class LZ4Decoder:
     def finished_frame(self) -> bool:
         """True when positioned at a frame boundary (safe resume point)."""
         return self._state == _S_MAGIC and not self._buf
+
+    # -- checkpoint/resume ---------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "verify": self.verify_checksum,
+            "dict": None if self._dict is None else bytes(self._dict),
+            "buf": bytes(self._buf),
+            "state": self._state,
+            "flags": (self._flg, self._has_block_checksum,
+                      self._has_content_size, self._has_content_checksum,
+                      self._has_dict_id),
+            "block_word": self._block_word,
+            "window": bytes(self._window[: self._window_pos]),
+            "hasher": self._hasher.state_dict(),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, backend: Optional[str] = None
+                   ) -> "LZ4Decoder":
+        dec = cls(state["dict"], state["verify"], backend)
+        dec._buf = bytearray(state["buf"])
+        dec._state = state["state"]
+        (dec._flg, dec._has_block_checksum, dec._has_content_size,
+         dec._has_content_checksum, dec._has_dict_id) = state["flags"]
+        dec._block_word = state["block_word"]
+        w = np.frombuffer(state["window"], np.uint8)
+        dec._window[: len(w)] = w
+        dec._window_pos = len(w)
+        dec._hasher = XXHash32.from_state(state["hasher"])
+        return dec
 
 
 class CompressStream:

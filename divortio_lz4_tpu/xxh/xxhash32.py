@@ -165,6 +165,23 @@ class XXHash32:
             self._memsize = rem
         return self
 
+    def state_dict(self) -> dict:
+        """Serializable snapshot (checkpoint/resume for streaming sessions)."""
+        return {
+            "seed": self.seed, "v": (self._v1, self._v2, self._v3, self._v4),
+            "total": self._total,
+            "mem": bytes(self._mem[: self._memsize]),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "XXHash32":
+        h = cls(state["seed"])
+        h._v1, h._v2, h._v3, h._v4 = state["v"]
+        h._total = state["total"]
+        h._memsize = len(state["mem"])
+        h._mem[: h._memsize] = np.frombuffer(state["mem"], np.uint8)
+        return h
+
     def digest(self) -> int:
         if self._total >= 16:
             h32 = (_rotl(self._v1, 1) + _rotl(self._v2, 7) +
