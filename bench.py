@@ -100,15 +100,22 @@ def bench_device(corpus: np.ndarray, block_size: int, runs: int):
         lens[i * CHUNK_ROWS:(i + 1) * CHUNK_ROWS])) for i in range(nchunks)]
     d_h0 = jax.device_put(jnp.zeros(CHUNK_ROWS, jnp.int32))
 
+    def hard_sync(parts):
+        # block_until_ready proved unreliable on the tunneled TPU platform;
+        # a host scalar fetch per executable is a guaranteed barrier.
+        return sum(int(jnp.sum(l)) for _, l in parts)
+
     def enc():
         return [encode_blocks_batch(w, l, 0, True, d_h0)
                 for w, l in zip(d_work, d_lens)]
 
-    enc_res = jax.block_until_ready(enc())  # compile + warm
+    enc_res = enc()
+    hard_sync(enc_res)  # compile + warm
     t_enc = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        enc_res = jax.block_until_ready(enc())
+        enc_res = enc()
+        hard_sync(enc_res)
         t_enc.append(time.perf_counter() - t0)
 
     # Build the decode batches from the encoder's own output (on device).
@@ -121,11 +128,13 @@ def bench_device(corpus: np.ndarray, block_size: int, runs: int):
         return [decode_blocks_batch(c, l, d_hist, block_size)
                 for c, l in zip(comps, clens)]
 
-    dec_res = jax.block_until_ready(dec())
+    dec_res = dec()
+    hard_sync(dec_res)
     t_dec = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        dec_res = jax.block_until_ready(dec())
+        dec_res = dec()
+        hard_sync(dec_res)
         t_dec.append(time.perf_counter() - t0)
 
     # Round-trip verification.

@@ -45,6 +45,18 @@ def _ceil_log2(n: int) -> int:
     return max(1, int(np.ceil(np.log2(max(n, 2)))))
 
 
+def _shift_up(x: jax.Array, k: int, fill=0):
+    """x shifted so out[i] = x[i+k] — a contiguous slice+pad, NOT a gather.
+
+    XLA lowers jnp.take(x, arange+k) to a general gather (~70 ms per 4M
+    elements on v5e); this form is a copy (~1 ms).
+    """
+    if k == 0:
+        return x
+    return jnp.concatenate(
+        [x[k:], jnp.full((k,), fill, x.dtype)])
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
                  out_cap: int):
@@ -78,7 +90,7 @@ def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
     lit_nib = tok >> 4
     match_nib = tok & 0x0F
 
-    r_l = take(r255, idx + 1)
+    r_l = _shift_up(r255, 1)
     has_lit_ext = lit_nib == 15
     ext_l = jnp.where(has_lit_ext, r_l + 1, 0)
     lit_len = lit_nib + jnp.where(
@@ -101,17 +113,26 @@ def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
 
     # Orbit of position 0 under nxt(): pointer doubling with reachability
     # scatter. After round k, reach = positions reachable in < 2^k steps.
-    reach = ((idx == 0) & (comp_len > 0)).astype(jnp.int32)
-    jump = nxt
+    # A while_loop stops as soon as a round adds nothing new — the typical
+    # sequence chain is much shorter than M, so this converges in
+    # ~log2(#sequences) rounds rather than the worst-case log2(M).
+    reach0 = ((idx == 0) & (comp_len > 0)).astype(jnp.int32)
 
-    def orbit_round(_, st):
-        reach, jump = st
+    def orbit_cond(st):
+        _, _, changed, rounds = st
+        return changed & (rounds < _ceil_log2(M) + 1)
+
+    def orbit_round(st):
+        reach, jump, _, rounds = st
         prop = jnp.zeros(M, jnp.int32).at[jump].max(reach, mode="drop")
-        reach = jnp.maximum(reach, prop)
+        new_reach = jnp.maximum(reach, prop)
+        changed = jnp.sum(new_reach) > jnp.sum(reach)
         jump = take(jump, jump)
-        return reach, jump
+        return new_reach, jump, changed, rounds + 1
 
-    reach, _ = jax.lax.fori_loop(0, _ceil_log2(M), orbit_round, (reach, jump))
+    reach, _, _, _ = jax.lax.while_loop(
+        orbit_cond, orbit_round,
+        (reach0, nxt, jnp.bool_(True), jnp.int32(0)))
     is_seq = (reach > 0) & (idx < comp_len)
 
     out_adv = jnp.where(
@@ -143,11 +164,21 @@ def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
     # (negative = history). hist is right-aligned so index = WINDOW + g.
     g = jnp.where(tag_f == 1, jB, jB + c_f)
 
-    def chase_round(_, g):
-        g2 = take(g, jnp.clip(g, 0, B - 1))
-        return jnp.where(g < 0, g, g2)
+    # Chase to fixpoint: a byte is resolved when it maps to a literal
+    # (g2 == g) or into history (g < 0). Converges in log2(max chain depth)
+    # rounds — typically 3-6, worst _ceil_log2(B).
+    def chase_cond(st):
+        g, changed, rounds = st
+        return changed & (rounds < _ceil_log2(B) + 1)
 
-    g = jax.lax.fori_loop(0, _ceil_log2(B), chase_round, g)
+    def chase_round(st):
+        g, _, rounds = st
+        g2 = take(g, jnp.clip(g, 0, B - 1))
+        g_new = jnp.where(g < 0, g, g2)
+        return g_new, jnp.any(g_new != g), rounds + 1
+
+    g, _, _ = jax.lax.while_loop(
+        chase_cond, chase_round, (g, jnp.bool_(True), jnp.int32(0)))
 
     # Input index of each output byte's originating literal.
     lit_in_idx = jB + c_f  # valid only where tag_f == 1

@@ -63,6 +63,14 @@ def _ceil_log2(n: int) -> int:
     return max(1, int(np.ceil(np.log2(max(n, 2)))))
 
 
+def _shift_up(x: jax.Array, k: int, fill=0):
+    """out[i] = x[i+k] as a contiguous slice+pad (a gather would be ~70x
+    slower on TPU for iota+k indices)."""
+    if k == 0:
+        return x
+    return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+
 def _pows(base: int, n: int) -> jax.Array:
     """[base^0, base^1, ..., base^(n-1)] mod 2^32 via binary exponentiation."""
     e = jnp.arange(n, dtype=_U32)
@@ -109,8 +117,8 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
 
     # ---- 1. window words ----
     b = work
-    w = (b + (take(b, idx + 1) << 8) + (take(b, idx + 2) << 16)
-         + (take(b, idx + 3) << 24)).astype(_U32)
+    w = (b + (_shift_up(b, 1) << 8) + (_shift_up(b, 2) << 16)
+         + (_shift_up(b, 3) << 24)).astype(_U32)
     # Positions whose 4-byte window would cross s_end are invalid; an extra
     # leading sort key keeps them out of every candidate group without
     # colliding with real 0xFFFFFFFF words.
@@ -135,9 +143,10 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
     a = idx                      # match position
     c = jnp.maximum(cand, 0)     # candidate position (clipped for gathers)
 
-    # Direct verification of the first 16 bytes, 4 words at a time.
+    # Direct verification of the first 16 bytes, 4 words at a time. The
+    # a-side reads are fixed shifts; only the candidate side gathers.
     def words_eq(off):
-        return take(w, a + off) == take(w, c + off)
+        return _shift_up(w, off) == take(w, c + off)
 
     eq4 = words_eq(4)
     eq8 = words_eq(8)
@@ -155,7 +164,13 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
     direct_len = first_bad_word + byte_eq  # in [4, 20]
 
     if use_fingerprints:
-        # Fingerprint LCE binary search for matches that cleared 16 bytes.
+        # Fingerprint LCE binary search, COMPACTED to the positions that
+        # actually cleared 16 direct-verified bytes (typically a small
+        # fraction): every search round then gathers CAP elements instead of
+        # N. Overflow beyond CAP falls back to the 16..20-byte direct length
+        # (valid output, negligible ratio cost — overflow implies massively
+        # repetitive data where early positions, which compaction keeps,
+        # carry the parse).
         inv1 = _pows(_B1_INV, N + 1)
         inv2 = _pows(_B2_INV, N + 1)
         pw1 = _pows(_B1, N + 1)
@@ -166,34 +181,52 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
         c2 = jnp.concatenate([jnp.zeros(1, _U32),
                               jnp.cumsum(bu * inv2[:N], dtype=_U32)])
 
-        pw1_a, pw2_a = take(pw1, a), take(pw2, a)
-        pw1_c, pw2_c = take(pw1, c), take(pw2, c)
-        c1_a, c2_a = take(c1, a), take(c2, a)
-        c1_c, c2_c = take(c1, c), take(c2, c)
+        CAP = max(N // 4, 1024)
+        need = has_cand & (direct_len >= 16)
+        slot_raw = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+        in_set = need & (slot_raw < CAP)
+        slot = jnp.where(in_set, slot_raw, CAP)  # CAP row = scatter drop
+
+        ca = jnp.zeros(CAP + 1, jnp.int32).at[slot].set(a, mode="drop")[:CAP]
+        cc = jnp.zeros(CAP + 1, jnp.int32).at[slot].set(c, mode="drop")[:CAP]
+
+        pw1_a, pw2_a = take(pw1, ca), take(pw2, ca)
+        pw1_c, pw2_c = take(pw1, cc), take(pw2, cc)
+        c1_a, c2_a = take(c1, ca), take(c2, ca)
+        c1_c, c2_c = take(c1, cc), take(c2, cc)
 
         def range_eq(length):
-            """Prefix equality of work[a:a+length) vs work[c:c+length)."""
-            f1a = (take(c1, a + length) - c1_a) * pw1_a
-            f1c = (take(c1, c + length) - c1_c) * pw1_c
-            f2a = (take(c2, a + length) - c2_a) * pw2_a
-            f2c = (take(c2, c + length) - c2_c) * pw2_c
+            """Prefix equality of work[ca:ca+len) vs work[cc:cc+len)."""
+            f1a = (take(c1, ca + length) - c1_a) * pw1_a
+            f1c = (take(c1, cc + length) - c1_c) * pw1_c
+            f2a = (take(c2, ca + length) - c2_a) * pw2_a
+            f2c = (take(c2, cc + length) - c2_c) * pw2_c
             return (f1a == f1c) & (f2a == f2c)
 
-        # Binary search on the largest equal prefix in [16, max_ext].
-        max_ext = jnp.maximum(match_limit - a, 0)
-        lo = jnp.full(N, 16, jnp.int32)
-        hi = max_ext + 1
+        # Binary search on the largest equal prefix in [16, max_ext]; stops
+        # as soon as every lane converges (all-short-matches blocks finish
+        # in a couple of rounds).
+        max_ext = jnp.maximum(match_limit - ca, 0)
+        used = jnp.arange(CAP, dtype=jnp.int32) < jnp.sum(
+            in_set.astype(jnp.int32))
+        lo0 = jnp.full(CAP, 16, jnp.int32)
+        hi0 = jnp.where(used, jnp.maximum(max_ext + 1, lo0), lo0)
 
-        def bs_round(_, st):
-            lo, hi = st
+        def bs_cond(st):
+            lo, hi, rounds = st
+            return jnp.any(hi > lo + 1) & (rounds < _ceil_log2(cap) + 2)
+
+        def bs_round(st):
+            lo, hi, rounds = st
             mid = jnp.clip((lo + hi) >> 1, lo, jnp.maximum(hi - 1, lo))
             ok = range_eq(mid) & (mid > lo)
-            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid),
+                    rounds + 1)
 
-        lo, hi = jax.lax.fori_loop(0, _ceil_log2(cap) + 1, bs_round, (lo, hi))
-        fp_len = lo
-        raw_len = jnp.where(direct_len >= 16, jnp.maximum(fp_len, 16),
-                            direct_len)
+        lo, _, _ = jax.lax.while_loop(bs_cond, bs_round,
+                                      (lo0, hi0, jnp.int32(0)))
+        fp_full = take(lo, jnp.clip(slot_raw, 0, CAP - 1))
+        raw_len = jnp.where(in_set, jnp.maximum(fp_full, 16), direct_len)
     else:
         raw_len = direct_len
 
@@ -206,15 +239,21 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
     nxt = jnp.minimum(nxt, N - 1)
     nxt = jnp.where(idx >= s_end, idx, nxt)
 
-    reach = ((idx == hist_len) & (src_len > 0)).astype(jnp.int32)
-    jump = nxt
+    reach0 = ((idx == hist_len) & (src_len > 0)).astype(jnp.int32)
 
-    def orbit_round(_, st):
-        reach, jump = st
+    def orbit_cond(st):
+        _, _, changed, rounds = st
+        return changed & (rounds < _ceil_log2(N) + 1)
+
+    def orbit_round(st):
+        reach, jump, _, rounds = st
         prop = jnp.zeros(N, jnp.int32).at[jump].max(reach, mode="drop")
-        return jnp.maximum(reach, prop), take(jump, jump)
+        new_reach = jnp.maximum(reach, prop)
+        changed = jnp.sum(new_reach) > jnp.sum(reach)
+        return new_reach, take(jump, jump), changed, rounds + 1
 
-    reach, _ = jax.lax.fori_loop(0, _ceil_log2(N), orbit_round, (reach, jump))
+    reach, _, _, _ = jax.lax.while_loop(
+        orbit_cond, orbit_round, (reach0, nxt, jnp.bool_(True), jnp.int32(0)))
     on_path = (reach > 0) & (idx >= hist_len) & (idx < s_end)
     emit_match = on_path & good         # sequence boundaries
     is_literal = on_path & (~good)      # literal bytes (advance by 1)
