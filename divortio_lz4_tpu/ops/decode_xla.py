@@ -99,7 +99,9 @@ def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
     after_lit = lit_start + lit_len
     terminal = after_lit >= comp_len
 
-    offset = take(comp, after_lit) + 256 * take(comp, after_lit + 1)
+    # Offsets are 2-byte LE; pre-combining into u16 lanes halves the gather.
+    comp16 = comp + (_shift_up(comp, 1) << 8)
+    offset = take(comp16, after_lit)
     mes = after_lit + 2
     r_m = take(r255, mes)
     has_m_ext = match_nib == 15
@@ -147,18 +149,20 @@ def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
     lit_zone = jnp.where(is_seq & (lit_len > 0), out_pos, drop)
     mat_zone = jnp.where(is_seq & (~terminal), out_pos + lit_len, drop)
 
-    tag = (jnp.zeros(B, jnp.int32)
-           .at[lit_zone].set(1, mode="drop")
-           .at[mat_zone].set(2, mode="drop"))
-    cval = (jnp.zeros(B, jnp.int32)
-            .at[lit_zone].set(lit_start - out_pos, mode="drop")
-            .at[mat_zone].set(-offset, mode="drop"))
+    # Zone tag and per-zone constant packed into ONE scatter + ONE fill
+    # gather: pack = tag<<28 | (cval + 2^26); cval spans (-B, M] ⊂ ±2^25.
+    BIAS = 1 << 26
+    pack = (jnp.zeros(B, jnp.int32)
+            .at[lit_zone].set((1 << 28) | (lit_start - out_pos + BIAS),
+                              mode="drop")
+            .at[mat_zone].set((2 << 28) | (BIAS - offset), mode="drop"))
 
-    marker = jnp.where(tag > 0, jB, -1)
+    marker = jnp.where(pack > 0, jB, -1)
     fill = jax.lax.cummax(marker, axis=0)
     fill_c = jnp.clip(fill, 0, B - 1)
-    tag_f = take(tag, fill_c)
-    c_f = take(cval, fill_c)
+    pack_f = take(pack, fill_c)
+    tag_f = pack_f >> 28
+    c_f = (pack_f & ((1 << 28) - 1)) - BIAS
 
     # Back-pointer graph: literals are fixpoints; match bytes point j-offset
     # (negative = history). hist is right-aligned so index = WINDOW + g.

@@ -181,7 +181,11 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
         c2 = jnp.concatenate([jnp.zeros(1, _U32),
                               jnp.cumsum(bu * inv2[:N], dtype=_U32)])
 
-        CAP = max(N // 4, 1024)
+        # CAP must be N: any smaller cap measurably degrades ratio on
+        # redundant corpora (overflowed positions cap at 16-20B matches).
+        # The while_loop early-exit still collapses the search to a couple
+        # of rounds when long matches are absent.
+        CAP = N
         need = has_cand & (direct_len >= 16)
         slot_raw = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
         in_set = need & (slot_raw < CAP)
@@ -313,46 +317,34 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
     tail_lits = body + 1 + ext_bytes(tail_lit)
     tail_tokval = jnp.minimum(tail_lit, 15) << 4
 
-    tag = jnp.zeros(W_OUT, jnp.int32)
-    av = jnp.zeros(W_OUT, jnp.int32)
-    bv = jnp.zeros(W_OUT, jnp.int32)
+    # Zone tag + per-zone payload packed into ONE i32 per byte position:
+    # pack = tag<<28 | payload. tag codes: 1 token (payload=token byte),
+    # 2 lit-ext / 5 match-ext (payload = extbytes<<8 | remainder),
+    # 3 literals (payload = source start), 4 offset (payload = offset).
+    def ext_payload(code):
+        return (ext_bytes(code) << 8) | (jnp.maximum(code - 15, 0) % 255)
 
-    # tag codes: 1 token, 2 lit-ext, 3 literals, 4 offset, 5 match-ext
-    tag = (tag.at[tok_pos].set(1, mode="drop")
-              .at[litx_pos].set(2, mode="drop")
-              .at[lits_pos].set(3, mode="drop")
-              .at[off_pos].set(4, mode="drop")
-              .at[mx_pos].set(5, mode="drop"))
-    av = (av.at[tok_pos].set(token_val, mode="drop")
-            .at[litx_pos].set(ext_bytes(lcode), mode="drop")
-            .at[lits_pos].set(prev_end, mode="drop")   # literal source start
-            .at[off_pos].set(offs, mode="drop")
-            .at[mx_pos].set(ext_bytes(mcode), mode="drop"))
-    bv = (bv.at[litx_pos].set(jnp.maximum(lcode - 15, 0) % 255, mode="drop")
-            .at[mx_pos].set(jnp.maximum(mcode - 15, 0) % 255, mode="drop"))
+    pk = (jnp.zeros(W_OUT, jnp.int32)
+          .at[tok_pos].set((1 << 28) | token_val, mode="drop")
+          .at[litx_pos].set((2 << 28) | ext_payload(lcode), mode="drop")
+          .at[lits_pos].set((3 << 28) | prev_end, mode="drop")
+          .at[off_pos].set((4 << 28) | offs, mode="drop")
+          .at[mx_pos].set((5 << 28) | ext_payload(mcode), mode="drop")
+          .at[jnp.where(src_len > 0, tail_tok, drop)].set(
+              (1 << 28) | tail_tokval, mode="drop")
+          .at[jnp.where(tail_lit >= 15, tail_litx, drop)].set(
+              (2 << 28) | ext_payload(tail_lit), mode="drop")
+          .at[jnp.where(tail_lit > 0, tail_lits, drop)].set(
+              (3 << 28) | last_end, mode="drop"))
 
-    # Tail scatters (guard tail zones by emptiness).
-    tag = tag.at[jnp.where(src_len > 0, tail_tok, drop)].set(1, mode="drop")
-    av = av.at[jnp.where(src_len > 0, tail_tok, drop)].set(
-        tail_tokval, mode="drop")
-    tag = tag.at[jnp.where(tail_lit >= 15, tail_litx, drop)].set(
-        2, mode="drop")
-    av = av.at[jnp.where(tail_lit >= 15, tail_litx, drop)].set(
-        ext_bytes(tail_lit), mode="drop")
-    bv = bv.at[jnp.where(tail_lit >= 15, tail_litx, drop)].set(
-        jnp.maximum(tail_lit - 15, 0) % 255, mode="drop")
-    tag = tag.at[jnp.where(tail_lit > 0, tail_lits, drop)].set(3, mode="drop")
-    av = av.at[jnp.where(tail_lit > 0, tail_lits, drop)].set(
-        last_end, mode="drop")
-
-    marker = jnp.where(tag > 0, jW, -1)
+    marker = jnp.where(pk > 0, jW, -1)
     fill = jnp.clip(jax.lax.cummax(marker, axis=0), 0, W_OUT - 1)
-    tag_f = jnp.take(tag, fill)
-    a_f = jnp.take(av, fill)
-    b_f = jnp.take(bv, fill)
+    pk_f = jnp.take(pk, fill)
+    tag_f = pk_f >> 28
+    a_f = pk_f & ((1 << 28) - 1)
     rel = jW - fill  # offset within the zone
 
-    ext_val = jnp.where(rel < a_f - 1, 255, b_f)          # 0xFF run + remainder
+    ext_val = jnp.where(rel < (a_f >> 8) - 1, 255, a_f & 0xFF)
     lit_val = take(work, a_f + rel)                        # literal gather
     off_val = jnp.where(rel == 0, a_f & 0xFF, (a_f >> 8) & 0xFF)
 
