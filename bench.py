@@ -118,8 +118,14 @@ def bench_device(corpus: np.ndarray, block_size: int, runs: int):
         hard_sync(enc_res)
         t_enc.append(time.perf_counter() - t0)
 
-    # Build the decode batches from the encoder's own output (on device).
-    m_cap = block_bound(block_size)
+    # Build the decode batches from the encoder's own output (on device),
+    # bucketing the compressed width to the batch maximum — decode Phase A
+    # gathers scale with this width.
+    max_comp = max(int(np.asarray(l).max()) for _, l in enc_res)
+    m_cap = 4096
+    while m_cap < max_comp:
+        m_cap <<= 1
+    m_cap = min(m_cap, block_bound(block_size))
     comps = [o[:, :m_cap] for o, _ in enc_res]
     clens = [l for _, l in enc_res]
     d_hist = jax.device_put(jnp.zeros((CHUNK_ROWS, WINDOW_SIZE), jnp.int32))

@@ -252,9 +252,21 @@ def device_decompress_frame(data, verify_checksum: bool = True,
     return result
 
 
+def _bucket_pow2(n: int, floor: int = 4096) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
 def _decode_independent(buf, blocks, bs, decode_batch=None) -> np.ndarray:
     nb = len(blocks)
-    m_cap = block_bound(bs)
+    # Phase A of the decode kernel scales with the padded compressed width;
+    # bucket it to the batch's actual maximum instead of the worst-case
+    # bound (typically 3-4x smaller on compressible data).
+    max_comp = max((size for _, size, stored in blocks if not stored),
+                   default=1)
+    m_cap = min(_bucket_pow2(max_comp), block_bound(bs))
     comp = np.zeros((nb, m_cap), dtype=np.int32)
     lens = np.zeros(nb, dtype=np.int32)
     stored_rows = {}
