@@ -238,8 +238,17 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
     good = has_cand & (mlen >= MIN_MATCH)
     mlen = jnp.where(good, mlen, 0)
 
-    # ---- 4. greedy parse via orbit doubling ----
-    nxt = jnp.where(good, idx + mlen, idx + 1)
+    # ---- 4. greedy parse via anchor-chain doubling ----
+    # An anchor is a sequence start (its literal run + the following match).
+    # nm[i] = nearest match position >= i (reverse cummin): the chain
+    # next_anchor = nm[a] + mlen[nm[a]] hops once per SEQUENCE, so pointer
+    # doubling needs ~log2(#sequences) rounds — not log2(path length) as a
+    # unit-step literal walk would.
+    nm = jax.lax.cummin(jnp.where(good, idx, N), axis=0, reverse=True)
+    nm_c = jnp.minimum(nm, N - 1)
+    m_len_at = take(mlen, nm_c)
+    terminal = nm >= N  # no further match: tail literals to s_end
+    nxt = jnp.where(terminal, idx, nm_c + m_len_at)
     nxt = jnp.minimum(nxt, N - 1)
     nxt = jnp.where(idx >= s_end, idx, nxt)
 
@@ -258,34 +267,25 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
 
     reach, _, _, _ = jax.lax.while_loop(
         orbit_cond, orbit_round, (reach0, nxt, jnp.bool_(True), jnp.int32(0)))
-    on_path = (reach > 0) & (idx >= hist_len) & (idx < s_end)
-    emit_match = on_path & good         # sequence boundaries
-    is_literal = on_path & (~good)      # literal bytes (advance by 1)
+    anchor = (reach > 0) & (idx >= hist_len) & (idx < s_end)
+    emit_match = anchor & (~terminal)   # anchors with a following match
+    emit_tail = anchor & terminal       # exactly one: the final literal run
 
     # ---- 5. serialization ----
-    # Literal run before each emitted match spans from the previous match's
-    # end (or the payload start) up to the match position: running max of
-    # emitted match ends, shifted to exclude the current match.
-    run_end = jax.lax.cummax(
-        jnp.where(emit_match, idx + mlen, hist_len), axis=0)
-    prev_end = jnp.concatenate([jnp.full(1, hist_len, jnp.int32),
-                                run_end[:-1]])
-    prev_end = jnp.maximum(prev_end, hist_len)
-    lit_before = jnp.where(emit_match, idx - prev_end, 0)
-
-    # Trailing literals after the last sequence: path literals from the last
-    # match end to s_end. last_end = max over emitted matches of i+mlen.
-    last_end = jnp.max(jnp.where(emit_match, idx + mlen, hist_len))
-    tail_lit = s_end - last_end  # >= 0
-
-    offs = jnp.where(emit_match, dist, 0)
+    # Per emitted sequence (anchored at a): literals work[a: nm[a]), then
+    # the match at nm[a].
+    lit_before = jnp.where(emit_match, nm_c - idx, 0)
+    mcode_at = jnp.where(emit_match, m_len_at - MIN_MATCH, 0)
+    offs = jnp.where(emit_match, take(dist, nm_c), 0)
+    tail_lit = jnp.sum(jnp.where(emit_tail, s_end - idx, 0))
+    last_end = jnp.sum(jnp.where(emit_tail, idx, 0))  # tail literal source
 
     # Per-sequence encoded sizes.
     def ext_bytes(v):
         return jnp.where(v < 15, 0, 1 + jnp.maximum(v - 15, 0) // 255)
 
     lcode = lit_before
-    mcode = jnp.where(emit_match, mlen - MIN_MATCH, 0)
+    mcode = mcode_at
     seq_size = jnp.where(
         emit_match,
         1 + ext_bytes(lcode) + lcode + 2 + ext_bytes(mcode),
@@ -327,7 +327,7 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
     pk = (jnp.zeros(W_OUT, jnp.int32)
           .at[tok_pos].set((1 << 28) | token_val, mode="drop")
           .at[litx_pos].set((2 << 28) | ext_payload(lcode), mode="drop")
-          .at[lits_pos].set((3 << 28) | prev_end, mode="drop")
+          .at[lits_pos].set((3 << 28) | idx, mode="drop")
           .at[off_pos].set((4 << 28) | offs, mode="drop")
           .at[mx_pos].set((5 << 28) | ext_payload(mcode), mode="drop")
           .at[jnp.where(src_len > 0, tail_tok, drop)].set(
