@@ -164,27 +164,24 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
     direct_len = first_bad_word + byte_eq  # in [4, 20]
 
     if use_fingerprints:
-        # Fingerprint LCE binary search, COMPACTED to the positions that
-        # actually cleared 16 direct-verified bytes (typically a small
-        # fraction): every search round then gathers CAP elements instead of
-        # N. Overflow beyond CAP falls back to the 16..20-byte direct length
-        # (valid output, negligible ratio cost — overflow implies massively
-        # repetitive data where early positions, which compaction keeps,
-        # carry the parse).
+        # Fingerprint LCE binary search over positions that cleared 16
+        # direct-verified bytes. ONE 32-bit rolling hash drives the search
+        # (2 gathers/round); the result is then verified with an exact
+        # 4-byte end-window compare — a search-time collision over-extends
+        # the candidate length, the end bytes then mismatch, and the lane
+        # falls back to its direct length. A silent error needs a hash
+        # collision AND a coincidental end-window match (~2^-60 per block).
         inv1 = _pows(_B1_INV, N + 1)
-        inv2 = _pows(_B2_INV, N + 1)
         pw1 = _pows(_B1, N + 1)
-        pw2 = _pows(_B2, N + 1)
         bu = b.astype(_U32)
         c1 = jnp.concatenate([jnp.zeros(1, _U32),
                               jnp.cumsum(bu * inv1[:N], dtype=_U32)])
-        c2 = jnp.concatenate([jnp.zeros(1, _U32),
-                              jnp.cumsum(bu * inv2[:N], dtype=_U32)])
 
-        # CAP must be N: any smaller cap measurably degrades ratio on
-        # redundant corpora (overflowed positions cap at 16-20B matches).
-        # The while_loop early-exit still collapses the search to a couple
-        # of rounds when long matches are absent.
+        # CAP must stay N: sub-N compaction truncates MEDIUM (20-100B)
+        # matches wherever the needy set overflows, measurably hurting the
+        # ratio gate (inheritance below only rescues run-like data, whose
+        # lengths decay by exactly 1 per position). Early-exit still
+        # collapses the search when long matches are absent.
         CAP = N
         need = has_cand & (direct_len >= 16)
         slot_raw = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
@@ -194,18 +191,16 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
         ca = jnp.zeros(CAP + 1, jnp.int32).at[slot].set(a, mode="drop")[:CAP]
         cc = jnp.zeros(CAP + 1, jnp.int32).at[slot].set(c, mode="drop")[:CAP]
 
-        pw1_a, pw2_a = take(pw1, ca), take(pw2, ca)
-        pw1_c, pw2_c = take(pw1, cc), take(pw2, cc)
-        c1_a, c2_a = take(c1, ca), take(c2, ca)
-        c1_c, c2_c = take(c1, cc), take(c2, cc)
+        pw1_a = take(pw1, ca)
+        pw1_c = take(pw1, cc)
+        c1_a = take(c1, ca)
+        c1_c = take(c1, cc)
 
         def range_eq(length):
-            """Prefix equality of work[ca:ca+len) vs work[cc:cc+len)."""
+            """Prefix fingerprint equality of work[ca:+len) vs work[cc:+len)."""
             f1a = (take(c1, ca + length) - c1_a) * pw1_a
             f1c = (take(c1, cc + length) - c1_c) * pw1_c
-            f2a = (take(c2, ca + length) - c2_a) * pw2_a
-            f2c = (take(c2, cc + length) - c2_c) * pw2_c
-            return (f1a == f1c) & (f2a == f2c)
+            return f1a == f1c
 
         # Binary search on the largest equal prefix in [16, max_ext]; stops
         # as soon as every lane converges (all-short-matches blocks finish
@@ -229,13 +224,38 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
 
         lo, _, _ = jax.lax.while_loop(bs_cond, bs_round,
                                       (lo0, hi0, jnp.int32(0)))
+        # Exact end verification: the last 4 bytes of the claimed common
+        # prefix must match for real. On failure the search was poisoned by
+        # a collision — fall back to the direct-verified 16..20 bytes.
+        end_ok = take(w, ca + lo - 4) == take(w, cc + lo - 4)
+        lo = jnp.where(end_ok | (lo <= 16), lo, 16)
         fp_full = take(lo, jnp.clip(slot_raw, 0, CAP - 1))
-        raw_len = jnp.where(in_set, jnp.maximum(fp_full, 16), direct_len)
+        own_len = jnp.where(in_set, jnp.maximum(fp_full, 16), direct_len)
+
+        # Match INHERITANCE: if position j < i was LCE-extended to length
+        # L_j at offset d_j, then position i has a guaranteed match of
+        # length L_j - (i-j) at the SAME offset (a substring of j's match).
+        # This restores full-length matches for positions the compaction
+        # skipped — including every position inside long runs — without any
+        # additional search. (L and d of the previous extended position are
+        # fetched via one cummax + two gathers.)
+        pis = jax.lax.cummax(jnp.where(in_set, idx, -1), axis=0)
+        pis_c = jnp.clip(pis, 0, N - 1)
+        inh_len = take(own_len, pis_c) - (idx - pis_c)
+        inh_d = take(dist, pis_c)
+        inh_ok = ((pis >= 0) & (inh_len >= MIN_MATCH)
+                  & (idx >= hist_len) & (idx < mf_limit))
+
+        use_inh = inh_ok & (inh_len > jnp.where(has_cand, own_len, 0))
+        raw_len = jnp.where(use_inh, inh_len, own_len)
+        dist = jnp.where(use_inh, inh_d, dist)
+        has_match = has_cand | use_inh
     else:
         raw_len = direct_len
+        has_match = has_cand
 
     mlen = jnp.minimum(raw_len, jnp.maximum(match_limit - a, 0))
-    good = has_cand & (mlen >= MIN_MATCH)
+    good = has_match & (mlen >= MIN_MATCH)
     mlen = jnp.where(good, mlen, 0)
 
     # ---- 4. greedy parse via anchor-chain doubling ----

@@ -55,7 +55,9 @@ def _frame_header_bytes(config: FrameConfig, n: int) -> np.ndarray:
     """Build the frame header (magic..header checksum) for the device path."""
     hdr = np.empty(19, np.uint8)
     hdr[0:4] = (0x04, 0x22, 0x4D, 0x18)
-    flg = (LZ4_VERSION << 6) | 0x20  # independent
+    flg = LZ4_VERSION << 6
+    if config.block_independence:
+        flg |= 0x20
     if config.content_checksum:
         flg |= FLG_CONTENT_CHECKSUM
     if config.block_checksums:
@@ -79,16 +81,15 @@ def device_compress_frame(data,
                           encode_batch=None) -> np.ndarray:
     """Compress *data* into an LZ4 frame with the block codec on device.
 
-    Currently requires block-independent frames (the data-parallel layout;
-    BASELINE config 1/2/5). Linked frames fall back to the host backend.
-    *encode_batch* optionally overrides the batch kernel (the sharded codec
-    passes its shard_map-wrapped version).
+    Independent frames batch data-parallel (BASELINE configs 1/2/5); linked
+    frames run as a single jitted lax.scan carrying the 64 KB window on
+    device (BASELINE config 3). *encode_batch* optionally overrides the
+    batch kernel (the sharded codec passes its shard_map-wrapped version).
     """
-    if not config.block_independence:
-        from ..frame import compress_frame
-        return compress_frame(data, None, config)
     if use_fingerprints is None:
         use_fingerprints = config.favor_ratio
+    if not config.block_independence:
+        return _compress_linked(data, config, use_fingerprints)
 
     raw = ensure_buffer(data)
     n = len(raw)
@@ -301,25 +302,74 @@ def _decode_independent(buf, blocks, bs, decode_batch=None) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, np.uint8)
 
 
+def _rows_bucket(nb: int) -> int:
+    b = 4
+    while b < nb:
+        b <<= 1
+    return b
+
+
+def _compress_linked(data, config: FrameConfig,
+                     use_fingerprints: bool) -> np.ndarray:
+    """Linked-frame device encode: one jitted scan over the block chain."""
+    from ..ops.linked_xla import encode_linked_scan
+
+    if config.block_checksums:
+        # Device assembly does not interleave block checksums; the host
+        # frame layer covers that configuration.
+        from ..frame import compress_frame
+        return compress_frame(data, None, config)
+
+    raw = ensure_buffer(data)
+    n = len(raw)
+    bs = config.resolved_block_size
+    work, lens, nblocks = _blocks_to_batch(raw, bs)
+    nbp = _rows_bucket(nblocks)
+    if nbp > nblocks:
+        work = np.concatenate(
+            [work, np.zeros((nbp - nblocks, bs), np.int32)])
+        lens = np.concatenate([lens, np.zeros(nbp - nblocks, np.int32)])
+
+    outs, out_lens = encode_linked_scan(
+        jnp.asarray(work), jnp.asarray(lens),
+        jnp.zeros(WINDOW_SIZE, jnp.int32), jnp.int32(0),
+        bs, use_fingerprints)
+
+    from ..ops.assemble_xla import assemble_blocks
+    cap = nblocks * (4 + bs) + 4
+    body, body_total = assemble_blocks(
+        outs[:nblocks], out_lens[:nblocks], jnp.asarray(work[:nblocks]),
+        jnp.asarray(lens[:nblocks]), cap)
+    body_np = np.asarray(body[: int(body_total)]).astype(np.uint8)
+    header = _frame_header_bytes(config.with_(block_independence=False), n)
+    parts = [header, body_np]
+    if config.content_checksum:
+        ck = np.empty(4, np.uint8)
+        write_u32le(ck, 0, xxhash32(raw, 0))
+        parts.append(ck)
+    return np.concatenate(parts)
+
+
 def _decode_linked(buf, blocks, bs) -> np.ndarray:
-    from ..ops.decode_xla import decode_block
-    m_cap = block_bound(bs)
-    window = np.zeros(WINDOW_SIZE, dtype=np.int32)
-    parts = []
-    for off, size, stored in blocks:
-        if stored:
-            chunk = buf[off: off + size].astype(np.uint8)
-        else:
-            comp = np.zeros(m_cap, dtype=np.int32)
-            comp[:size] = buf[off: off + size]
-            out, out_len = decode_block(jnp.asarray(comp), jnp.int32(size),
-                                        jnp.asarray(window), bs)
-            chunk = np.asarray(out[: int(out_len)]).astype(np.uint8)
-        parts.append(chunk)
-        cl = len(chunk)
-        if cl >= WINDOW_SIZE:
-            window[:] = chunk[-WINDOW_SIZE:]
-        else:
-            window[:-cl] = window[cl:]
-            window[-cl:] = chunk
-    return np.concatenate(parts) if parts else np.empty(0, np.uint8)
+    """Linked-frame device decode: one jitted scan carrying the window."""
+    from ..ops.linked_xla import decode_linked_scan
+
+    nb = len(blocks)
+    max_comp = max((size for _, size, _ in blocks), default=1)
+    m_cap = min(_bucket_pow2(max_comp), block_bound(bs))
+    nbp = _rows_bucket(nb)
+    comp = np.zeros((nbp, m_cap), np.int32)
+    lens = np.zeros(nbp, np.int32)
+    stored = np.zeros(nbp, np.int32)
+    for i, (off, size, st) in enumerate(blocks):
+        comp[i, :size] = buf[off: off + size]
+        lens[i] = size
+        stored[i] = 1 if st else 0
+
+    outs, out_lens = decode_linked_scan(
+        jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(stored),
+        jnp.zeros(WINDOW_SIZE, jnp.int32), jnp.int32(0), bs)
+
+    from ..ops.assemble_xla import concat_blocks
+    flat, total = concat_blocks(outs[:nb], out_lens[:nb], nb * bs)
+    return np.asarray(flat[: int(total)]).astype(np.uint8)

@@ -44,6 +44,35 @@ def test_device_decode_linked_frame(compressible):
     np.testing.assert_array_equal(out, data)
 
 
+def test_device_linked_encode_cross_host(compressible):
+    # Device linked-scan encoder -> host decoder, and ratio beats the
+    # device-independent encoding (cross-block window matches).
+    data = np.asarray(compressible(200_000))
+    linked = device_compress_frame(
+        data, FrameConfig(block_size=65536, block_independence=False))
+    np.testing.assert_array_equal(decompress_frame(np.array(linked)), data)
+    indep = device_compress_frame(
+        data, FrameConfig(block_size=65536, block_independence=True))
+    assert len(linked) <= len(indep)
+    # and the device linked decoder round-trips its own encoder
+    np.testing.assert_array_equal(
+        device_decompress_frame(np.array(linked)), data)
+
+
+def test_device_linked_with_stored_blocks(rng, compressible):
+    # Mixed chain: incompressible (stored) blocks interleave with
+    # compressible ones; the window must advance through stored bytes.
+    data = np.concatenate([
+        np.asarray(compressible(70_000)),
+        rng.integers(0, 256, 70_000, dtype=np.uint8),
+        np.asarray(compressible(70_000)),
+    ])
+    cfg = FrameConfig(block_size=65536, block_independence=False)
+    frame = compress_frame(data, config=cfg)  # host encode (has stored blk)
+    out = device_decompress_frame(np.array(frame))
+    np.testing.assert_array_equal(out, data)
+
+
 def test_sharded_codec_roundtrip(compressible):
     codec = ShardedCodec(make_mesh(8))
     data = np.asarray(compressible(300_000))  # 5 blocks over 8 devices

@@ -53,8 +53,13 @@ def test_xla_encode_xla_decode(compressible):
 def test_xla_encode_ratio_beats_reference(compressible, rng):
     # Exhaustive candidates + exact lengths must compress at least as well
     # as the reference's skip-heuristic hash table on every corpus type.
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from benchmark.corpus import silesia_like, synthetic_json
     corpora = {
         "json": np.asarray(compressible(16384)),
+        "varying_json": np.asarray(synthetic_json(16384)),  # medium matches
+        "silesia_mix": np.asarray(silesia_like(16384)),
         "text": np.frombuffer(
             (b"the quick brown fox jumps over the lazy dog. " * 400)[:16384],
             np.uint8),
