@@ -90,8 +90,18 @@ def _paths(block_size: int):
         return (lambda: device_compress_frame(data, cfg),
                 lambda: device_decompress_frame(frame), len(frame))
 
+    def gzip_path(data):
+        # Comparison target, mirroring the reference's vs-gzip table
+        # (docs/BENCHMARKS.md:21-22: divortio 1.9x faster compress, 0.8x
+        # decompress vs Node zlib).
+        import zlib
+        db = bytes(data)
+        frame = zlib.compress(db, 6)
+        return (lambda: zlib.compress(db, 6),
+                lambda: zlib.decompress(frame), len(frame))
+
     return {"host": host, "stream": stream, "worker": worker,
-            "device": device}
+            "device": device, "gzip": gzip_path}
 
 
 def run_suite(sizes_mb, path_names, block_size=4 * 1024 * 1024):
