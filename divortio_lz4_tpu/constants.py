@@ -10,6 +10,13 @@ bufferCompress.js:17-48 and src/block/blockCompress.js:13-17).
 MAGIC_NUMBER = 0x184D2204
 LZ4_VERSION = 1
 
+# Skippable frames (spec §"Skippable Frames"): magic 0x184D2A50..5F followed
+# by a 4-byte LE size of user data to skip. The reference does not handle
+# these (its decoders reject them as invalid magic); this framework skips
+# them for interop with lz4 CLI archives.
+SKIPPABLE_MAGIC_MIN = 0x184D2A50
+SKIPPABLE_MAGIC_MAX = 0x184D2A5F
+
 # --- FLG byte bit masks (bufferCompress.js:27-37, bufferDecompress.js:28-32) --
 FLG_VERSION_MASK = 0xC0
 FLG_BLOCK_INDEPENDENCE = 0x20

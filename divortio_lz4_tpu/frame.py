@@ -165,9 +165,17 @@ def decompress_frame(data,
     n = len(buf)
     dict_buf = ensure_buffer(dictionary) if dictionary is not None else None
 
-    if n < 4 or read_u32le(buf, 0) != MAGIC_NUMBER:
+    # Skip any leading skippable frames (lz4 CLI archives may carry them;
+    # the reference rejects these).
+    pos = 0
+    from .constants import SKIPPABLE_MAGIC_MAX, SKIPPABLE_MAGIC_MIN
+    while (pos + 8 <= n
+           and SKIPPABLE_MAGIC_MIN <= read_u32le(buf, pos)
+           <= SKIPPABLE_MAGIC_MAX):
+        pos += 8 + read_u32le(buf, pos + 4)
+    if pos + 4 > n or read_u32le(buf, pos) != MAGIC_NUMBER:
         raise ValueError("LZ4: Invalid Magic Number")
-    pos = 4
+    pos += 4
     flg = int(buf[pos]); pos += 1
     version = (flg & FLG_VERSION_MASK) >> 6
     if version != LZ4_VERSION:

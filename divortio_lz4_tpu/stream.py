@@ -207,12 +207,13 @@ class LZ4Encoder:
         return outputs
 
 
-# FSM states (lz4Decode.js:27-31).
+# FSM states (lz4Decode.js:27-31, plus SKIP for skippable frames).
 _S_MAGIC = 0
 _S_HEADER = 1
 _S_BLOCK_SIZE = 2
 _S_BLOCK_BODY = 3
 _S_CHECKSUM = 4
+_S_SKIP = 5
 
 
 class LZ4Decoder:
@@ -236,6 +237,7 @@ class LZ4Decoder:
         self._reset_frame_state()
 
     def _reset_frame_state(self):
+        self._skip_remaining = 0
         self._flg = 0
         self._has_block_checksum = False
         self._has_content_size = False
@@ -261,10 +263,28 @@ class LZ4Decoder:
             if self._state == _S_MAGIC:
                 if len(self._buf) < 4:
                     break
-                if read_u32le(self._buf, 0) != MAGIC_NUMBER:
+                word = read_u32le(self._buf, 0)
+                from .constants import (SKIPPABLE_MAGIC_MAX,
+                                        SKIPPABLE_MAGIC_MIN)
+                if SKIPPABLE_MAGIC_MIN <= word <= SKIPPABLE_MAGIC_MAX:
+                    if len(self._buf) < 8:
+                        break
+                    self._skip_remaining = read_u32le(self._buf, 4)
+                    del self._buf[:8]
+                    self._state = _S_SKIP
+                    continue
+                if word != MAGIC_NUMBER:
                     raise ValueError("LZ4: Invalid Magic Number")
                 del self._buf[:4]
                 self._state = _S_HEADER
+
+            elif self._state == _S_SKIP:
+                take_n = min(self._skip_remaining, len(self._buf))
+                del self._buf[:take_n]
+                self._skip_remaining -= take_n
+                if self._skip_remaining > 0:
+                    break
+                self._state = _S_MAGIC
 
             elif self._state == _S_HEADER:
                 if len(self._buf) < 2:

@@ -91,3 +91,19 @@ def test_unsupported_version():
     frame[4] = (frame[4] & 0x3F) | (2 << 6)  # version 2
     with pytest.raises(ValueError, match="Version"):
         decompress_frame(np.frombuffer(bytes(frame), dtype=np.uint8))
+
+
+def test_skippable_frame_is_skipped():
+    # Spec skippable frame (magic 0x184D2A50 + size) prepended to a real
+    # frame — the reference rejects these; this framework skips them.
+    skip = bytes([0x50, 0x2A, 0x4D, 0x18, 0x05, 0, 0, 0]) + b"USER!"
+    frame = skip + bytes.fromhex(GOLDEN_HELLO)
+    out = decompress_frame(np.frombuffer(frame, np.uint8))
+    assert bytes(out) == b"Hello World"
+    # streaming FSM path, fed in small fragments
+    from divortio_lz4_tpu.stream import LZ4Decoder
+    dec = LZ4Decoder()
+    got = b""
+    for i in range(0, len(frame), 3):
+        got += b"".join(bytes(c) for c in dec.update(frame[i: i + 3]))
+    assert got == b"Hello World"
