@@ -241,9 +241,19 @@ int64_t lz4t_decompress_block(const uint8_t* src, int64_t src_off,
   const int64_t end = src_off + src_len;
   int64_t o = dst_off;
 
+  // Wild-copy fast path: unconditional 16-byte chunk copies may write up to
+  // 15 bytes past the copy's logical end; legal while both cursors stay
+  // WILD_MARGIN clear of their buffers' ends (later sequences overwrite the
+  // spill). The tail of the block falls back to exact copies.
+  const int64_t WILD_MARGIN = 32;
+  const int64_t wild_end = end - WILD_MARGIN;
+  const int64_t wild_cap = dst_cap - WILD_MARGIN;
+
   while (p < end) {
     uint32_t token = src[p++];
     int64_t lit_len = token >> 4;
+
+    // --- literals ---
     if (lit_len == 15) {
       uint32_t b;
       do {
@@ -254,13 +264,16 @@ int64_t lz4t_decompress_block(const uint8_t* src, int64_t src_off,
     }
     if (o + lit_len > dst_cap) return ERR_OUTPUT_SMALL;
     if (p + lit_len > end) return ERR_MALFORMED;
-    if (lit_len) {
+    if (lit_len <= 16 && p + 16 <= end && o + 16 <= wild_cap) {
+      std::memcpy(dst + o, src + p, 16);  // wild 16B covers <=16 literals
+    } else if (lit_len) {
       std::memcpy(dst + o, src + p, (size_t)lit_len);
-      o += lit_len;
-      p += lit_len;
     }
+    o += lit_len;
+    p += lit_len;
     if (p >= end) break;
 
+    // --- offset + match length ---
     if (p + 2 > end) return ERR_MALFORMED;
     int64_t offset = src[p] | (src[p + 1] << 8);
     p += 2;
@@ -291,19 +304,47 @@ int64_t lz4t_decompress_block(const uint8_t* src, int64_t src_off,
       int64_t rp = o - offset;
       while (remaining--) dst[o++] = dst[rp++];
     } else if (offset >= match_len) {
-      // Non-overlapping: plain memcpy.
-      std::memcpy(dst + o, dst + cs, (size_t)match_len);
+      // Non-overlapping: one wild 16B copy covers the common short match;
+      // long matches take a single memcpy.
+      if (match_len <= 16 && offset >= 16 && o + 16 <= wild_cap) {
+        std::memcpy(dst + o, dst + cs, 16);
+      } else {
+        std::memcpy(dst + o, dst + cs, (size_t)match_len);
+      }
+      o += match_len;
+    } else if (offset >= 16) {
+      // Overlapping, offset>=16: wild 16B-chunk copy propagates correctly
+      // (each chunk's source bytes are written by prior chunks); period-
+      // doubling fallback near the buffer end (memmove would NOT propagate).
+      if (o + match_len + 16 <= wild_cap) {
+        int64_t dp = o, sp = cs;
+        int64_t stop = o + match_len;
+        do {
+          std::memcpy(dst + dp, dst + sp, 16);
+          dp += 16;
+          sp += 16;
+        } while (dp < stop);
+      } else {
+        int64_t remaining = match_len;
+        int64_t avail = offset;
+        int64_t dp = o;
+        while (remaining > 0) {
+          int64_t c = avail < remaining ? avail : remaining;
+          std::memcpy(dst + dp, dst + cs, (size_t)c);
+          dp += c;
+          remaining -= c;
+          avail += c;
+        }
+      }
       o += match_len;
     } else if (offset == 1) {
       // RLE.
       std::memset(dst + o, dst[cs], (size_t)match_len);
       o += match_len;
     } else {
-      // Overlapping (offset < match_len): period-doubling copy. After each
-      // memcpy the contiguous periodic run starting at cs doubles, so the
-      // whole match completes in O(log(match_len/offset)) non-overlapping
-      // memcpys instead of a byte loop (the reference's blockDecompress.js
-      // uses unrolled byte loops here, :219-268).
+      // Short-offset overlap (2..15): period-doubling copy — O(log)
+      // non-overlapping memcpys instead of a byte loop (the reference's
+      // blockDecompress.js uses unrolled byte loops here, :219-268).
       int64_t remaining = match_len;
       int64_t avail = offset;
       int64_t dp = o;
