@@ -1,0 +1,316 @@
+"""Pallas TPU decode kernel — scalar-driven interpreter, lane-aligned vectors.
+
+The XLA two-phase decode (decode_xla.py) is fully data-parallel but pays
+~35 general-gather passes at TPU's scalar gather rate. This kernel takes the
+opposite mapping, shaped by what Mosaic actually allows: the scalar unit
+walks the sequence stream like a CPU decoder
+(/root/reference/src/block/blockDecompress.js:55-272), and all data movement
+is 128-lane vectors. Mosaic requires every VMEM access to be lane-aligned,
+so byte addressing is built from aligned row loads + dynamic lane rotations:
+
+  read128(q)  = select(roll(row[q/128], s), roll(row[q/128+1], s)), s = q%128
+  write128(q) = read-modify-write of the two spanning rows with lane masks
+  readbyte(q) = roll(row, s)[0]
+
+Copy strategy per match offset:
+  offset >= 128 : straight read128/write128 chunks;
+  1 < offset<128: chunk 0 writes a PERIODIZED vector (log-step in-register
+                  doubling of the first `offset` lanes); later chunks read
+                  at dst - m*offset (m chosen so the source is fully
+                  written and >= match start) — exact LZ4 overlap
+                  propagation with no scalar copies;
+  offset == 1   : broadcast fill.
+
+Layout: each block's output row is [64K history | B output | slack] so
+linked-block/dictionary references are plain negative offsets (no special
+cases); wild chunk copies spill into slack and are overwritten, the
+reference's own double-copy idea (blockDecompress.js:77-110) at vector width.
+
+Bytes travel widened to int32 lanes. Valid-input contract as decode_xla
+(verify untrusted frames via checksums on host first).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import WINDOW_SIZE
+
+W = WINDOW_SIZE
+SLACK = 256          # wild-copy spill rows (2 x 128)
+LANES = 128
+
+_IOTA = None  # built inside the kernel (TPU needs 2D iota)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
+                 out_base: int):
+    """Build the kernel for a (rows)-blocks-per-step layout.
+
+    Refs (2D, lane dim 128):
+      lens_ref: SMEM i32[nb] (scalar prefetch)
+      comp_ref: (rows*comp_nr, 128)
+      hist_ref: (rows*hist_nr, 128) or None
+      io_ref:   (rows*io_nr, 128)
+      len_out:  (rows, 128)
+    """
+
+    def kernel(lens_ref, *refs):
+        if hist_nr:
+            comp_ref, hist_ref, io_ref = refs
+        else:
+            comp_ref, io_ref = refs
+            hist_ref = None
+        g = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def rrow(ref, base_row, q):
+            """Aligned (1,128) row containing byte q (row base + q//128)."""
+            return ref[pl.ds(base_row + q // LANES, 1), :]
+
+        def read128(ref, base_row, q):
+            s = q % LANES
+            r0 = pltpu.roll(rrow(ref, base_row, q), -s, axis=1)
+            r1 = pltpu.roll(rrow(ref, base_row, q + LANES), -s, axis=1)
+            return jnp.where(iota < LANES - s, r0, r1)
+
+        def write128(ref, base_row, q, v):
+            s = q % LANES
+            rolled = pltpu.roll(v, s, axis=1)
+            row = base_row + q // LANES
+            d0 = ref[pl.ds(row, 1), :]
+            d1 = ref[pl.ds(row + 1, 1), :]
+            ref[pl.ds(row, 1), :] = jnp.where(iota >= s, rolled, d0)
+            ref[pl.ds(row + 1, 1), :] = jnp.where(iota < s, rolled, d1)
+
+        def readbyte(ref, base_row, q):
+            s = q % LANES
+            return pltpu.roll(rrow(ref, base_row, q), -s, axis=1)[0, 0]
+
+        def decode_row(r):
+            comp_base = r * comp_nr
+            io_base = r * io_nr
+            comp_len = lens_ref[g * rows + r]
+
+            if hist_ref is not None:
+                # Seed the history region with aligned row copies.
+                def seed(k, _):
+                    io_ref[pl.ds(io_base + k, 1), :] = \
+                        hist_ref[pl.ds(r * hist_nr + k, 1), :]
+                    return 0
+                jax.lax.fori_loop(0, hist_nr, seed, 0)
+
+            def parse_ext(p, base):
+                def cond(st):
+                    return st[2] == 255
+
+                def body(st):
+                    ln, p, _ = st
+                    v = readbyte(comp_ref, comp_base, p)
+                    return ln + v, p + 1, v
+
+                ln, p, _ = jax.lax.while_loop(
+                    cond, body, (base, p, jnp.int32(255)))
+                return ln, p
+
+            def seq_body(st):
+                p, o = st
+                token = readbyte(comp_ref, comp_base, p)
+                p = p + 1
+
+                lit_len, p = jax.lax.cond(
+                    (token >> 4) == 15,
+                    lambda pp: parse_ext(pp, jnp.int32(15)),
+                    lambda pp: (token >> 4, pp), p)
+
+                # literals: wild 128-byte chunks
+                def lit_chunk(k, _):
+                    write128(io_ref, io_base, o + k * LANES,
+                             read128(comp_ref, comp_base, p + k * LANES))
+                    return 0
+
+                jax.lax.fori_loop(0, (lit_len + LANES - 1) // LANES,
+                                  lit_chunk, 0)
+                p = p + lit_len
+                o = o + lit_len
+
+                def do_match(args):
+                    p, o = args
+                    off_lo = readbyte(comp_ref, comp_base, p)
+                    off_hi = readbyte(comp_ref, comp_base, p + 1)
+                    offset = off_lo + (off_hi << 8)
+                    p = p + 2
+                    mlen, p = jax.lax.cond(
+                        (token & 15) == 15,
+                        lambda pp: parse_ext(pp, jnp.int32(15)),
+                        lambda pp: (token & 15, pp), p)
+                    mlen = mlen + 4
+                    cs = o - offset
+                    nchunks = (mlen + LANES - 1) // LANES
+
+                    def far(_):
+                        # offset >= 128: source chunk fully written.
+                        def body(k, _):
+                            write128(io_ref, io_base, o + k * LANES,
+                                     read128(io_ref, io_base, cs + k * LANES))
+                            return 0
+                        jax.lax.fori_loop(0, nchunks, body, 0)
+                        return 0
+
+                    def near(_):
+                        # 1 < offset < 128. Chunk 0: periodize the first
+                        # `offset` lanes by in-register doubling, write once.
+                        v0 = read128(io_ref, io_base, cs)
+
+                        def grow(st):
+                            v, wdt = st
+                            v = jnp.where(iota < wdt, v,
+                                          pltpu.roll(v, wdt, axis=1))
+                            return v, wdt * 2
+
+                        v, _ = jax.lax.while_loop(
+                            lambda st: st[1] < LANES, grow, (v0, offset))
+                        write128(io_ref, io_base, o, v)
+
+                        # Chunks k>=1: read at dst - m*offset with m =
+                        # floor((dst-cs)/offset): source lies in
+                        # [cs, cs+offset) and is fully written.
+                        def body(k, _):
+                            dst = o + k * LANES
+                            m = (dst - cs) // offset
+                            write128(io_ref, io_base, dst,
+                                     read128(io_ref, io_base,
+                                             dst - m * offset))
+                            return 0
+                        jax.lax.fori_loop(1, nchunks, body, 0)
+                        return 0
+
+                    def rle(_):
+                        v = jnp.full((1, LANES),
+                                     readbyte(io_ref, io_base, cs), jnp.int32)
+
+                        def body(k, _):
+                            write128(io_ref, io_base, o + k * LANES, v)
+                            return 0
+                        jax.lax.fori_loop(0, nchunks, body, 0)
+                        return 0
+
+                    branch = jnp.where(offset >= LANES, 0,
+                                       jnp.where(offset == 1, 2, 1))
+                    jax.lax.switch(branch, [far, near, rle], 0)
+                    return p, o + mlen
+
+                return jax.lax.cond(p < comp_len, do_match,
+                                    lambda args: args, (p, o))
+
+            p, o = jax.lax.while_loop(
+                lambda st: st[0] < comp_len, seq_body,
+                (jnp.int32(0), jnp.int32(out_base)))
+            # Output length rides in the last slack row of this block's io.
+            io_ref[pl.ds(io_base + io_nr - 1, 1), :] = jnp.full(
+                (1, LANES), o - out_base, jnp.int32)
+
+        def row_loop(r, _):
+            decode_row(r)
+            return 0
+
+        jax.lax.fori_loop(0, rows, row_loop, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "use_history", "interpret"))
+def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
+                         block_size: int, use_history: bool = False,
+                         interpret: bool = False):
+    """Decode a batch of LZ4 blocks with the Pallas interpreter kernel.
+
+    Args:
+      comp: i32[nb, M] compressed bytes; M % 1024 == 0 with >= SLACK zero
+        pad beyond each row's length.
+      lens: i32[nb] compressed sizes.
+      hist: i32[nb, 65536] RIGHT-aligned history (ignored unless
+        use_history — independent blocks skip the seeding copies and the
+        extra VMEM residency).
+      block_size: static output capacity per block.
+
+    Returns (out: i32[nb, block_size], out_len: i32[nb]).
+    """
+    nb, M = comp.shape
+    assert M % 1024 == 0, M
+    rows = 8 if not use_history else 4
+    if nb % rows:
+        pad = rows - nb % rows
+        comp = jnp.concatenate([comp, jnp.zeros((pad, M), jnp.int32)])
+        lens = jnp.concatenate([lens, jnp.zeros(pad, jnp.int32)])
+        hist = jnp.concatenate([hist, jnp.zeros((pad, W), jnp.int32)])
+    nbp = comp.shape[0]
+
+    comp_nr = M // LANES
+    hist_nr = (W // LANES) if use_history else 0
+    out_base = W if use_history else 0
+    io_bytes = _round_up(out_base + block_size + SLACK, 1024)
+    io_nr = io_bytes // LANES
+
+    in_specs = [pl.BlockSpec((rows * comp_nr, LANES),
+                             lambda g, lens: (g, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [comp.reshape(nbp * comp_nr, LANES)]
+    if use_history:
+        in_specs.append(pl.BlockSpec((rows * hist_nr, LANES),
+                                     lambda g, lens: (g, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(hist.reshape(nbp * hist_nr, LANES))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbp // rows,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((rows * io_nr, LANES), lambda g, lens: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    io, = pl.pallas_call(
+        _make_kernel(rows, comp_nr, io_nr, hist_nr, out_base),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nbp * io_nr, LANES), jnp.int32)],
+        interpret=interpret,
+    )(lens, *operands)
+
+    io = io.reshape(nbp, io_nr * LANES)
+    out_len = io[:nb, (io_nr - 1) * LANES]
+    return io[:nb, out_base: out_base + block_size], out_len
+
+
+def decode_block_pallas_host(comp_bytes: np.ndarray, out_cap: int,
+                             history: np.ndarray | None = None,
+                             interpret: bool | None = None) -> np.ndarray:
+    """Host convenience wrapper (numpy bytes in/out), for tests."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = len(comp_bytes)
+    M = _round_up(m + SLACK, 1024)
+    comp = np.zeros((1, M), np.int32)
+    comp[0, :m] = comp_bytes
+    hist_arr = np.zeros((1, W), np.int32)
+    use_history = history is not None and len(history) > 0
+    if use_history:
+        h = history[-W:]
+        hist_arr[0, W - len(h):] = h
+    out, out_len = decode_blocks_pallas(
+        jnp.asarray(comp), jnp.asarray(np.array([m], np.int32)),
+        jnp.asarray(hist_arr), out_cap, use_history, interpret)
+    return np.asarray(out[0][: int(out_len[0])]).astype(np.uint8)

@@ -1,0 +1,98 @@
+"""Pallas decode kernel (interpret mode on CPU; compiled path covered by the
+TPU bench). Bit-exactness across every copy-strategy branch."""
+
+import numpy as np
+import pytest
+
+from divortio_lz4_tpu import compress_raw
+from divortio_lz4_tpu.backends import get_backend
+from divortio_lz4_tpu.constants import block_bound
+from divortio_lz4_tpu.ops.block_ref import new_hash_table
+from divortio_lz4_tpu.ops.pallas_decode import (
+    decode_block_pallas_host,
+    decode_blocks_pallas,
+)
+
+
+def roundtrip(data, hist=None):
+    if hist is not None:
+        be = get_backend()
+        combined = np.concatenate([hist, data])
+        table = new_hash_table()
+        be.warm_table(table, combined, len(hist))
+        out = np.empty(block_bound(len(data)), np.uint8)
+        n = be.compress_block(combined, out, len(hist), len(data), table, 0)
+        comp = out[:n]
+    else:
+        comp = np.asarray(compress_raw(data))
+    got = decode_block_pallas_host(np.asarray(comp), len(data), hist)
+    np.testing.assert_array_equal(got, data)
+
+
+CASES = {
+    "literals_only": None,  # filled in test
+    "far_offsets": np.frombuffer(b'{"a":1,"bb":"xyz"}' * 300, np.uint8),
+    "offset3_periodize": np.tile(np.array([1, 2, 3], np.uint8), 800),
+    "offset2": np.tile(np.array([9, 8], np.uint8), 900),
+    "offset1_rle": np.full(4000, 7, np.uint8),
+    "text": np.frombuffer(b"the quick brown fox jumps! " * 200, np.uint8),
+    "long_matches": np.tile(np.frombuffer(b"0123456789abcdef", np.uint8),
+                            700),
+}
+
+
+@pytest.mark.parametrize("name", sorted(k for k in CASES if CASES[k] is not None))
+def test_pallas_decode_branches(name):
+    roundtrip(CASES[name])
+
+
+def test_pallas_decode_literals_only(rng):
+    roundtrip(rng.integers(0, 256, 2000, dtype=np.uint8))
+
+
+def test_pallas_decode_long_literal_extension(rng):
+    roundtrip(rng.integers(0, 256, 700, dtype=np.uint8))
+
+
+def test_pallas_decode_mixed(compressible, rng):
+    data = np.concatenate([rng.integers(0, 256, 3000, dtype=np.uint8),
+                           np.asarray(compressible(8000)),
+                           np.full(2000, 3, np.uint8)])
+    roundtrip(data)
+
+
+def test_pallas_decode_with_history(compressible):
+    hist = np.asarray(compressible(3000))
+    data = np.asarray(compressible(2500))
+    roundtrip(data, hist)
+
+
+def test_pallas_decode_history_spanning():
+    hist = np.tile(np.frombuffer(b"ABCDEFGH", np.uint8), 30)
+    data = np.tile(np.frombuffer(b"ABCDEFGH", np.uint8), 200)
+    roundtrip(data, hist)
+
+
+def test_pallas_decode_batch(compressible, rng):
+    import jax.numpy as jnp
+    from divortio_lz4_tpu.ops.pallas_decode import SLACK, _round_up
+    blocks = [np.asarray(compressible(2048)),
+              rng.integers(0, 256, 2048, dtype=np.uint8),
+              np.tile(np.array([5, 4, 3], np.uint8), 683)[:2048],
+              np.full(2048, 9, np.uint8),
+              np.asarray(compressible(1000))]  # 5 rows -> padded to 8
+    comps = [np.asarray(compress_raw(b)) for b in blocks]
+    M = _round_up(max(len(c) for c in comps) + SLACK, 1024)
+    comp = np.zeros((len(blocks), M), np.int32)
+    lens = np.zeros(len(blocks), np.int32)
+    for i, c in enumerate(comps):
+        comp[i, : len(c)] = c
+        lens[i] = len(c)
+    hist = np.zeros((len(blocks), 65536), np.int32)
+    out, out_lens = decode_blocks_pallas(
+        jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(hist), 2048,
+        False, True)
+    for i, b in enumerate(blocks):
+        assert int(out_lens[i]) == len(b)
+        np.testing.assert_array_equal(
+            np.asarray(out[i][: len(b)]).astype(np.uint8), b)
