@@ -164,6 +164,61 @@ def bench_device(corpus: np.ndarray, block_size: int, runs: int):
             jax.devices()[0].platform)
 
 
+def bench_pallas_decode(corpus: np.ndarray, block_size: int, runs: int):
+    """Decode-only figure for the Pallas interpreter kernel (stderr detail).
+
+    Blocks are host-encoded (reference-identical bytes), then decoded on
+    device in 64-row batches.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.ops.pallas_decode import (
+        SLACK, _round_up, decode_blocks_pallas)
+    from divortio_lz4_tpu.constants import WINDOW_SIZE
+
+    n = len(corpus)
+    nb = -(-n // block_size)
+    nb -= 0 if n % block_size == 0 else 1  # full blocks only for simplicity
+    nb = (nb // CHUNK_ROWS) * CHUNK_ROWS
+    if nb == 0:
+        raise ValueError("corpus too small for pallas bench")
+    comps = []
+    for i in range(nb):
+        comps.append(np.asarray(lz4.compress_raw(
+            corpus[i * block_size:(i + 1) * block_size])))
+    M = _round_up(max(len(c) for c in comps) + SLACK, 1024)
+    comp = np.zeros((nb, M), np.int32)
+    lens = np.zeros(nb, np.int32)
+    for i, c in enumerate(comps):
+        comp[i, : len(c)] = c
+        lens[i] = len(c)
+    hist = jnp.zeros((CHUNK_ROWS, WINDOW_SIZE), jnp.int32)
+    d_comp = [jax.device_put(jnp.asarray(comp[i: i + CHUNK_ROWS]))
+              for i in range(0, nb, CHUNK_ROWS)]
+    d_lens = [jax.device_put(jnp.asarray(lens[i: i + CHUNK_ROWS]))
+              for i in range(0, nb, CHUNK_ROWS)]
+
+    def dec():
+        res = [decode_blocks_pallas(c, l, hist, block_size, False, False)
+               for c, l in zip(d_comp, d_lens)]
+        return res, sum(int(jnp.sum(ol)) for _, ol in res)
+
+    res, total = dec()
+    assert total == nb * block_size, (total, nb * block_size)
+    # spot-verify one chunk bit-exact
+    out0 = np.asarray(res[0][0])
+    assert np.array_equal(out0[0].astype(np.uint8), corpus[:block_size])
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _, total = dec()
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    return nb * block_size, t
+
+
 def bench_host(corpus: np.ndarray, block_size: int, runs: int):
     import divortio_lz4_tpu as lz4
     cfg = lz4.FrameConfig(block_size=block_size, block_independence=True)
@@ -245,6 +300,16 @@ def main():
         except Exception as e:
             print(f"bench: device path failed ({e!r})", file=sys.stderr)
             dev_ok = False
+        try:
+            pb, pt = bench_pallas_decode(corpus[:dev_size], args.block,
+                                         max(args.runs // 2, 1))
+            print(f"bench[device-pallas-decode/tpu]: {pb / 1e6:.0f}MB in "
+                  f"{pt * 1e3:.0f} ms = {pb / pt / 1e6:.1f} MB/s "
+                  f"(scalar-interpreter kernel, decode only)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"bench: pallas decode tier failed ({e!r})",
+                  file=sys.stderr)
 
     # vs_baseline is measured like-for-like: the reference's published
     # 484/459 MB/s were taken on ITS synthetic repeated-JSON corpus with
