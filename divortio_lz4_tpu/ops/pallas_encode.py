@@ -23,11 +23,14 @@ encode_linked_scan (XLA) or the host tier.
 
 STATUS: interpret-mode verified BYTE-IDENTICAL to the reference encoder on
 every corpus tested, but the current Mosaic toolchain hangs compiling the
-kernel's nested control flow (while-in-cond-in-while) — even at 1 KB block
-shapes, compilation never returns where pallas_decode's flatter kernel
-compiles in seconds. Until that is flattened (or Mosaic fixed), this kernel
-is test/documentation tier only; production device encode remains
-encode_xla.py and the host tier.
+kernel — even at 1 KB block shapes, and even with the match-extension inner
+loop stubbed out (bisect experiment, so the hang lives in the main sequence
+while_loop + cond-guarded table/emit read-modify-writes, not the nested
+reduction). pallas_decode's similarly-nested kernel compiles in seconds,
+so the difference is likely the per-iteration VMEM RMW pattern inside
+lax.cond branches. Until restructured (e.g. predicated pl.when emission
+with SMEM-carried cursors), this kernel is test/documentation tier only;
+production device encode remains encode_xla.py and the host tier.
 """
 
 from __future__ import annotations
