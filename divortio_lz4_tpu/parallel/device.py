@@ -223,11 +223,16 @@ def parse_block_index(buf: np.ndarray):
 
 
 def device_decompress_frame(data, verify_checksum: bool = True,
-                            decode_batch=None) -> np.ndarray:
+                            decode_batch=None,
+                            engine: str = "xla") -> np.ndarray:
     """Decompress an LZ4 frame with batched device block decode.
 
     Independent frames decode fully data-parallel. Linked frames decode as a
     sequential chain of device calls carrying the 64 KB window.
+
+    engine: "xla" (two-phase data-parallel kernel) or "pallas" (the
+    scalar-interpreter kernel — ~11x faster per chip, see
+    ops/pallas_decode.py). Applies to independent frames.
     """
     buf = ensure_buffer(data)
     header, blocks, tail = parse_block_index(buf)
@@ -241,6 +246,8 @@ def device_decompress_frame(data, verify_checksum: bool = True,
 
     if not blocks:
         result = np.empty(0, dtype=np.uint8)
+    elif header["independent"] and engine == "pallas" and decode_batch is None:
+        result = _decode_independent_pallas(buf, blocks, bs)
     elif header["independent"]:
         result = _decode_independent(buf, blocks, bs, decode_batch)
     else:
@@ -348,6 +355,43 @@ def _compress_linked(data, config: FrameConfig,
         write_u32le(ck, 0, xxhash32(raw, 0))
         parts.append(ck)
     return np.concatenate(parts)
+
+
+def _decode_independent_pallas(buf, blocks, bs) -> np.ndarray:
+    """Independent-frame decode via the Pallas scalar-interpreter kernel."""
+    import jax
+
+    from ..ops.pallas_decode import SLACK, decode_blocks_pallas
+    from ..ops.pallas_decode import _round_up as _ru
+
+    nb = len(blocks)
+    stored_rows = {}
+    max_comp = 1
+    for i, (off, size, stored) in enumerate(blocks):
+        if stored:
+            stored_rows[i] = buf[off: off + size]
+        else:
+            max_comp = max(max_comp, size)
+    M = _ru(max_comp + SLACK, 1024)
+    comp = np.zeros((nb, M), np.int32)
+    lens = np.zeros(nb, np.int32)
+    for i, (off, size, stored) in enumerate(blocks):
+        if not stored:
+            comp[i, :size] = buf[off: off + size]
+            lens[i] = size
+    hist = jnp.zeros((nb, WINDOW_SIZE), jnp.int32)
+    outs, out_lens = decode_blocks_pallas(
+        jnp.asarray(comp), jnp.asarray(lens), hist, bs, False,
+        jax.default_backend() != "tpu")
+    outs = np.asarray(outs)
+    out_lens = np.asarray(out_lens)
+    parts = []
+    for i in range(nb):
+        if i in stored_rows:
+            parts.append(stored_rows[i])
+        else:
+            parts.append(outs[i, : int(out_lens[i])].astype(np.uint8))
+    return np.concatenate(parts) if parts else np.empty(0, np.uint8)
 
 
 def _decode_linked(buf, blocks, bs) -> np.ndarray:

@@ -111,3 +111,13 @@ def test_device_frame_with_checksums(compressible):
     bad[40] ^= 0xFF
     with pytest.raises(ValueError, match="Checksum"):
         device_decompress_frame(bad)
+
+
+def test_device_decode_pallas_engine(compressible, rng):
+    # Pallas-engine frame decode (interpret mode on CPU), incl. stored rows.
+    data = np.concatenate([np.asarray(compressible(150_000)),
+                           rng.integers(0, 256, 70_000, dtype=np.uint8)])
+    cfg = FrameConfig(block_size=65536, block_independence=True)
+    frame = compress_frame(data, config=cfg)
+    out = device_decompress_frame(np.array(frame), engine="pallas")
+    np.testing.assert_array_equal(out, data)
