@@ -194,6 +194,13 @@ def decompress_frame(data,
         pos += 4  # parity: buffer path does not verify dictID (:89)
     pos += 1  # header checksum byte: parity, skipped (:91-92)
 
+    # A corrupted content-size header must not drive a giant allocation
+    # (found by mutation fuzzing; the reference allocates it blindly,
+    # bufferDecompress.js:107). LZ4 expands at most ~255x per wire byte.
+    max_plausible = (n - pos) * 256 + WINDOW_SIZE
+    if expected_size > max_plausible:
+        raise ValueError("LZ4: Malformed Input")
+
     use_direct = expected_size > 0
     if use_direct:
         result = np.empty(expected_size, dtype=np.uint8)
