@@ -176,10 +176,12 @@ def decompress_frame(data,
     if pos + 4 > n or read_u32le(buf, pos) != MAGIC_NUMBER:
         raise ValueError("LZ4: Invalid Magic Number")
     pos += 4
+    desc_start = pos
     flg = int(buf[pos]); pos += 1
     version = (flg & FLG_VERSION_MASK) >> 6
     if version != LZ4_VERSION:
         raise ValueError(f"LZ4: Unsupported Version {version}")
+    independent = bool(flg & FLG_BLOCK_INDEPENDENCE)
     has_block_checksum = bool(flg & FLG_BLOCK_CHECKSUM)
     has_content_size = bool(flg & FLG_CONTENT_SIZE)
     has_content_checksum = bool(flg & FLG_CONTENT_CHECKSUM)
@@ -188,11 +190,31 @@ def decompress_frame(data,
 
     expected_size = 0
     if has_content_size:
+        if pos + 8 > n:
+            raise ValueError("LZ4: Malformed Input")
         expected_size = read_u32le(buf, pos) | (read_u32le(buf, pos + 4) << 32)
         pos += 8
     if has_dict_id:
-        pos += 4  # parity: buffer path does not verify dictID (:89)
-    pos += 1  # header checksum byte: parity, skipped (:91-92)
+        # dictID verification to the stream path's strictness (the reference
+        # buffer path skips it, bufferDecompress.js:89 — a robustness gap).
+        if pos + 4 > n:
+            raise ValueError("LZ4: Malformed Input")
+        frame_dict_id = read_u32le(buf, pos)
+        pos += 4
+        if dict_buf is None:
+            raise ValueError("LZ4: Frame requires a Dictionary")
+        if xxhash32(dict_buf, 0) != frame_dict_id:
+            raise ValueError("LZ4: Dictionary ID Mismatch")
+    if pos >= n:
+        raise ValueError("LZ4: Malformed Input")
+    # Verify the header-checksum byte (the reference skips it,
+    # bufferDecompress.js:91-92 — a corrupted FLG/descriptor would misparse
+    # the whole frame instead of raising).
+    if verify_checksum:
+        expect_hc = (xxhash32(buf[desc_start:pos], 0) >> 8) & 0xFF
+        if int(buf[pos]) != expect_hc:
+            raise ValueError("LZ4: Header Checksum Error")
+    pos += 1
 
     # A corrupted content-size header must not drive a giant allocation
     # (found by mutation fuzzing; the reference allocates it blindly,
@@ -227,16 +249,28 @@ def decompress_frame(data,
             raise ValueError("LZ4: Malformed Input")
 
         # Verify the block checksum BEFORE interpreting the block, so corrupt
-        # data is caught as a checksum error rather than a decode fault.
-        if has_block_checksum and verify_checksum and pos + bsize + 4 <= n:
-            stored_bc = read_u32le(buf, pos + bsize)
-            if stored_bc != xxhash32(buf[pos: pos + bsize], 0):
-                raise ValueError("LZ4: Block Checksum Error")
+        # data is caught as a checksum error rather than a decode fault. A
+        # frame truncated exactly at a block checksum is malformed, never
+        # silently unverified.
+        if has_block_checksum:
+            if pos + bsize + 4 > n:
+                raise ValueError("LZ4: Malformed Input")
+            if verify_checksum:
+                stored_bc = read_u32le(buf, pos + bsize)
+                if stored_bc != xxhash32(buf[pos: pos + bsize], 0):
+                    raise ValueError("LZ4: Block Checksum Error")
 
         if use_direct:
             if stored:
                 result[result_pos: result_pos + bsize] = buf[pos: pos + bsize]
                 result_pos += bsize
+            elif independent:
+                # Spec semantics (lz4frame): an independent block references
+                # the dictionary ONLY — the window resets at each block, so
+                # decode into a per-block view (back-references past the
+                # block start land in the dictionary, never prior output).
+                result_pos += be.decompress_block(
+                    buf, pos, bsize, result[result_pos:], 0, dict_buf)
             else:
                 result_pos += be.decompress_block(
                     buf, pos, bsize, result, result_pos, dict_buf)
@@ -244,11 +278,16 @@ def decompress_frame(data,
             if stored:
                 chunk = np.array(buf[pos: pos + bsize])
             else:
-                hist = window[:window_pos] if window_pos > 0 else None
+                if independent:
+                    # Window resets per block: history = dictionary only.
+                    hist = dict_buf
+                else:
+                    hist = window[:window_pos] if window_pos > 0 else None
                 nbytes = be.decompress_block(buf, pos, bsize, workspace, 0, hist)
                 chunk = np.array(workspace[:nbytes])
             chunks.append(chunk)
-            # Rolling 64 KB window update (bufferDecompress.js:171-185).
+            # Rolling 64 KB window update (bufferDecompress.js:171-185);
+            # only linked frames carry it.
             cl = len(chunk)
             if cl >= WINDOW_SIZE:
                 window[:] = chunk[cl - WINDOW_SIZE:]

@@ -10,6 +10,7 @@ with psum/all_gather, and the frame is assembled in order on the host.
 from .device import (
     device_compress_frame,
     device_decompress_frame,
+    parse_block_index,
 )
 from .sharding import (
     ShardedCodec,
@@ -19,6 +20,7 @@ from .sharding import (
 __all__ = [
     "device_compress_frame",
     "device_decompress_frame",
+    "parse_block_index",
     "ShardedCodec",
     "make_mesh",
 ]

@@ -51,7 +51,8 @@ def _blocks_to_batch(raw: np.ndarray, block_size: int):
     return work, lens, nblocks
 
 
-def _frame_header_bytes(config: FrameConfig, n: int) -> np.ndarray:
+def _frame_header_bytes(config: FrameConfig, n: int,
+                        dict_id: Optional[int] = None) -> np.ndarray:
     """Build the frame header (magic..header checksum) for the device path."""
     hdr = np.empty(19, np.uint8)
     hdr[0:4] = (0x04, 0x22, 0x4D, 0x18)
@@ -64,6 +65,8 @@ def _frame_header_bytes(config: FrameConfig, n: int) -> np.ndarray:
         flg |= FLG_BLOCK_CHECKSUM
     if config.content_size:
         flg |= FLG_CONTENT_SIZE
+    if dict_id is not None:
+        flg |= FLG_DICT_ID
     hdr[4] = flg
     hdr[5] = (config.block_id & 0x07) << 4
     pos = 6
@@ -71,37 +74,73 @@ def _frame_header_bytes(config: FrameConfig, n: int) -> np.ndarray:
         write_u32le(hdr, pos, n & 0xFFFFFFFF)
         write_u32le(hdr, pos + 4, n >> 32)
         pos += 8
+    if dict_id is not None:
+        write_u32le(hdr, pos, dict_id)
+        pos += 4
     hdr[pos] = (xxhash32(hdr[4:pos], 0) >> 8) & 0xFF
     return hdr[: pos + 1]
+
+
+def _dict_window(dictionary) -> tuple[Optional[np.ndarray], Optional[int]]:
+    """Last-64KB window + dictID of a dictionary (None, None when absent)."""
+    if dictionary is None:
+        return None, None
+    dict_buf = ensure_buffer(dictionary)
+    if len(dict_buf) == 0:
+        return None, None
+    dict_id = xxhash32(dict_buf, 0)
+    window = dict_buf[-WINDOW_SIZE:]
+    return np.asarray(window, np.uint8), dict_id
 
 
 def device_compress_frame(data,
                           config: FrameConfig = DEFAULT_CONFIG,
                           use_fingerprints: Optional[bool] = None,
-                          encode_batch=None) -> np.ndarray:
+                          encode_batch=None,
+                          dictionary=None) -> np.ndarray:
     """Compress *data* into an LZ4 frame with the block codec on device.
 
     Independent frames batch data-parallel (BASELINE configs 1/2/5); linked
     frames run as a single jitted lax.scan carrying the 64 KB window on
     device (BASELINE config 3). *encode_batch* optionally overrides the
-    batch kernel (the sharded codec passes its shard_map-wrapped version).
+    batch kernel — signature (work, lens, hist_len, hist_start) where work
+    rows carry a static hist_len-byte history prefix (the sharded codec
+    passes its shard_map-wrapped version). *dictionary* feeds every block's
+    history window and stamps the frame's dictID
+    (bufferCompress.js:109-125 semantics on the device tier).
     """
     if use_fingerprints is None:
         use_fingerprints = config.favor_ratio
     if not config.block_independence:
-        return _compress_linked(data, config, use_fingerprints)
+        return _compress_linked(data, config, use_fingerprints, dictionary)
 
     raw = ensure_buffer(data)
     n = len(raw)
     bs = config.resolved_block_size
     work, lens, nblocks = _blocks_to_batch(raw, bs)
 
+    window, dict_id = _dict_window(dictionary)
+    if window is not None:
+        # Every independent block sees the dictionary as history: rows are
+        # [64 KB window (right-aligned) | payload], hist_len = WINDOW_SIZE.
+        hist_len = WINDOW_SIZE
+        hist_start = WINDOW_SIZE - len(window)
+        hist_block = np.zeros((nblocks, WINDOW_SIZE), np.int32)
+        hist_block[:, hist_start:] = window
+        work = np.concatenate([hist_block, work], axis=1)
+    else:
+        hist_len = 0
+        hist_start = 0
+
     if encode_batch is None:
-        def encode_batch(w, l):
-            return encode_blocks_batch(w, l, 0, use_fingerprints,
-                                       jnp.zeros(w.shape[0], jnp.int32))
+        def encode_batch(w, l, hl, hs):
+            return encode_blocks_batch(
+                w, l, hl, use_fingerprints,
+                jnp.full(w.shape[0], hs, jnp.int32))
     d_work = jnp.asarray(work)
-    outs, out_lens = encode_batch(d_work, jnp.asarray(lens))
+    outs, out_lens = encode_batch(d_work, jnp.asarray(lens), hist_len,
+                                  hist_start)
+    d_payload = d_work[:, hist_len:] if hist_len else d_work
 
     if not config.block_checksums and n > 0:
         # Fast path: stitch size words + payloads (incl. stored fallback and
@@ -109,10 +148,10 @@ def device_compress_frame(data,
         from ..ops.assemble_xla import assemble_blocks
         cap = nblocks * (4 + bs) + 4
         body, body_total = assemble_blocks(
-            jnp.asarray(outs), jnp.asarray(out_lens), d_work,
+            jnp.asarray(outs), jnp.asarray(out_lens), d_payload,
             jnp.asarray(lens), cap)
         body_np = np.asarray(body[: int(body_total)]).astype(np.uint8)
-        header = _frame_header_bytes(config, n)
+        header = _frame_header_bytes(config, n, dict_id)
         parts = [header, body_np]
         if config.content_checksum:
             ck = np.empty(4, np.uint8)
@@ -126,26 +165,9 @@ def device_compress_frame(data,
     # --- host frame assembly ---
     frame = np.empty(19 + n + (n // 255) + (16 + 8) * nblocks + 8,
                      dtype=np.uint8)
-    pos = 0
-    frame[0:4] = (0x04, 0x22, 0x4D, 0x18)
-    pos = 4
-    flg = (LZ4_VERSION << 6) | 0x20  # independent
-    if config.content_checksum:
-        flg |= FLG_CONTENT_CHECKSUM
-    if config.block_checksums:
-        flg |= FLG_BLOCK_CHECKSUM
-    if config.content_size:
-        flg |= FLG_CONTENT_SIZE
-    frame[pos] = flg
-    pos += 1
-    frame[pos] = (config.block_id & 0x07) << 4
-    pos += 1
-    if config.content_size:
-        write_u32le(frame, pos, n & 0xFFFFFFFF)
-        write_u32le(frame, pos + 4, n >> 32)
-        pos += 8
-    frame[pos] = (xxhash32(frame[4:pos], 0) >> 8) & 0xFF
-    pos += 1
+    header = _frame_header_bytes(config, n, dict_id)
+    frame[: len(header)] = header
+    pos = len(header)
 
     if n > 0:
         for i in range(nblocks):
@@ -175,12 +197,18 @@ def device_compress_frame(data,
     return frame[:pos]
 
 
-def parse_block_index(buf: np.ndarray):
+def parse_block_index(buf: np.ndarray, verify_checksum: bool = True):
     """Host scan of a frame's block table.
 
     Returns (header, blocks, tail_pos) where blocks is a list of
     (data_offset, size, is_stored) and header is a dict of parsed fields.
     The scan touches only the 4-byte size words — O(nblocks), not O(n).
+
+    Every declared block size is bounds-checked against the buffer and the
+    EndMark must be present: a truncated or corrupt frame raises
+    "LZ4: Malformed Input" here instead of zero-padding rows into the device
+    decoders (which would emit clipped wrong output). The header-checksum
+    byte is verified unless *verify_checksum* is False.
     """
     n = len(buf)
     if n < 7 or read_u32le(buf, 0) != MAGIC_NUMBER:
@@ -200,31 +228,47 @@ def parse_block_index(buf: np.ndarray):
             (bd >> 4) & 0x07, 4194304),
     }
     if flg & FLG_CONTENT_SIZE:
+        if pos + 8 > n:
+            raise ValueError("LZ4: Malformed Input")
         header["content_size"] = read_u32le(buf, pos) | (
             read_u32le(buf, pos + 4) << 32)
         pos += 8
     if flg & FLG_DICT_ID:
+        if pos + 4 > n:
+            raise ValueError("LZ4: Malformed Input")
         header["dict_id"] = read_u32le(buf, pos)
         pos += 4
+    if pos >= n:
+        raise ValueError("LZ4: Malformed Input")
+    if verify_checksum:
+        expect_hc = (xxhash32(buf[4:pos], 0) >> 8) & 0xFF
+        if int(buf[pos]) != expect_hc:
+            raise ValueError("LZ4: Header Checksum Error")
     pos += 1  # header checksum
 
     blocks = []
+    saw_end = False
     while pos + 4 <= n:
         word = read_u32le(buf, pos)
         pos += 4
         if word == 0:
+            saw_end = True
             break
         size = word & BLOCK_SIZE_MASK
+        need = size + (4 if header["block_checksums"] else 0)
+        if pos + need > n:
+            raise ValueError("LZ4: Malformed Input")
         blocks.append((pos, size, bool(word & UNCOMPRESSED_FLAG)))
-        pos += size
-        if header["block_checksums"]:
-            pos += 4
+        pos += need
+    if not saw_end:
+        raise ValueError("LZ4: Malformed Input")
     return header, blocks, pos
 
 
 def device_decompress_frame(data, verify_checksum: bool = True,
                             decode_batch=None,
-                            engine: str = "xla") -> np.ndarray:
+                            engine: str = "xla",
+                            dictionary=None) -> np.ndarray:
     """Decompress an LZ4 frame with batched device block decode.
 
     Independent frames decode fully data-parallel. Linked frames decode as a
@@ -233,10 +277,22 @@ def device_decompress_frame(data, verify_checksum: bool = True,
     engine: "xla" (two-phase data-parallel kernel) or "pallas" (the
     scalar-interpreter kernel — ~11x faster per chip, see
     ops/pallas_decode.py). Applies to independent frames.
+
+    A frame built with a dictionary (FLG dictID set) REQUIRES *dictionary*
+    and verifies its xxh32 id — matching the stream decoder's strictness
+    (lz4Decode.js:165-179); the history window feeds the device kernels'
+    hist inputs so back-references into the dictionary resolve exactly.
     """
     buf = ensure_buffer(data)
-    header, blocks, tail = parse_block_index(buf)
+    header, blocks, tail = parse_block_index(buf, verify_checksum)
     bs = header["block_max"]
+
+    window, dict_id = _dict_window(dictionary)
+    if header["dict_id"] is not None:
+        if window is None:
+            raise ValueError("LZ4: Frame requires a Dictionary")
+        if dict_id != header["dict_id"]:
+            raise ValueError("LZ4: Dictionary ID Mismatch")
 
     if verify_checksum and header["block_checksums"]:
         for off, size, _ in blocks:
@@ -247,13 +303,15 @@ def device_decompress_frame(data, verify_checksum: bool = True,
     if not blocks:
         result = np.empty(0, dtype=np.uint8)
     elif header["independent"] and engine == "pallas" and decode_batch is None:
-        result = _decode_independent_pallas(buf, blocks, bs)
+        result = _decode_independent_pallas(buf, blocks, bs, window)
     elif header["independent"]:
-        result = _decode_independent(buf, blocks, bs, decode_batch)
+        result = _decode_independent(buf, blocks, bs, decode_batch, window)
     else:
-        result = _decode_linked(buf, blocks, bs)
+        result = _decode_linked(buf, blocks, bs, window)
 
     if header["content_checksum"] and verify_checksum:
+        if tail + 4 > len(buf):
+            raise ValueError("LZ4: Malformed Input")
         stored = read_u32le(buf, tail)
         if stored != xxhash32(result, 0):
             raise ValueError("LZ4: Content Checksum Error")
@@ -267,7 +325,8 @@ def _bucket_pow2(n: int, floor: int = 4096) -> int:
     return b
 
 
-def _decode_independent(buf, blocks, bs, decode_batch=None) -> np.ndarray:
+def _decode_independent(buf, blocks, bs, decode_batch=None,
+                        window=None) -> np.ndarray:
     nb = len(blocks)
     # Phase A of the decode kernel scales with the padded compressed width;
     # bucket it to the batch's actual maximum instead of the worst-case
@@ -285,6 +344,8 @@ def _decode_independent(buf, blocks, bs, decode_batch=None) -> np.ndarray:
             comp[i, :size] = buf[off: off + size]
             lens[i] = size
     hist = np.zeros((nb, WINDOW_SIZE), dtype=np.int32)
+    if window is not None:
+        hist[:, WINDOW_SIZE - len(window):] = window  # right-aligned
     if decode_batch is None:
         def decode_batch(c, l, h):
             return decode_blocks_batch(c, l, h, bs)
@@ -317,7 +378,7 @@ def _rows_bucket(nb: int) -> int:
 
 
 def _compress_linked(data, config: FrameConfig,
-                     use_fingerprints: bool) -> np.ndarray:
+                     use_fingerprints: bool, dictionary=None) -> np.ndarray:
     """Linked-frame device encode: one jitted scan over the block chain."""
     from ..ops.linked_xla import encode_linked_scan
 
@@ -325,7 +386,7 @@ def _compress_linked(data, config: FrameConfig,
         # Device assembly does not interleave block checksums; the host
         # frame layer covers that configuration.
         from ..frame import compress_frame
-        return compress_frame(data, None, config)
+        return compress_frame(data, dictionary, config)
 
     raw = ensure_buffer(data)
     n = len(raw)
@@ -337,9 +398,17 @@ def _compress_linked(data, config: FrameConfig,
             [work, np.zeros((nbp - nblocks, bs), np.int32)])
         lens = np.concatenate([lens, np.zeros(nbp - nblocks, np.int32)])
 
+    # The scan's initial window IS the dictionary (right-aligned).
+    window, dict_id = _dict_window(dictionary)
+    init_window = np.zeros(WINDOW_SIZE, np.int32)
+    init_filled = 0
+    if window is not None:
+        init_filled = len(window)
+        init_window[WINDOW_SIZE - init_filled:] = window
+
     outs, out_lens = encode_linked_scan(
         jnp.asarray(work), jnp.asarray(lens),
-        jnp.zeros(WINDOW_SIZE, jnp.int32), jnp.int32(0),
+        jnp.asarray(init_window), jnp.int32(init_filled),
         bs, use_fingerprints)
 
     from ..ops.assemble_xla import assemble_blocks
@@ -348,7 +417,8 @@ def _compress_linked(data, config: FrameConfig,
         outs[:nblocks], out_lens[:nblocks], jnp.asarray(work[:nblocks]),
         jnp.asarray(lens[:nblocks]), cap)
     body_np = np.asarray(body[: int(body_total)]).astype(np.uint8)
-    header = _frame_header_bytes(config.with_(block_independence=False), n)
+    header = _frame_header_bytes(config.with_(block_independence=False), n,
+                                 dict_id)
     parts = [header, body_np]
     if config.content_checksum:
         ck = np.empty(4, np.uint8)
@@ -357,7 +427,7 @@ def _compress_linked(data, config: FrameConfig,
     return np.concatenate(parts)
 
 
-def _decode_independent_pallas(buf, blocks, bs) -> np.ndarray:
+def _decode_independent_pallas(buf, blocks, bs, window=None) -> np.ndarray:
     """Independent-frame decode via the Pallas scalar-interpreter kernel."""
     import jax
 
@@ -379,10 +449,13 @@ def _decode_independent_pallas(buf, blocks, bs) -> np.ndarray:
         if not stored:
             comp[i, :size] = buf[off: off + size]
             lens[i] = size
-    hist = jnp.zeros((nb, WINDOW_SIZE), jnp.int32)
+    use_history = window is not None
+    hist_np = np.zeros((nb, WINDOW_SIZE), np.int32)
+    if use_history:
+        hist_np[:, WINDOW_SIZE - len(window):] = window
     outs, out_lens = decode_blocks_pallas(
-        jnp.asarray(comp), jnp.asarray(lens), hist, bs, False,
-        jax.default_backend() != "tpu")
+        jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(hist_np), bs,
+        use_history, jax.default_backend() != "tpu")
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     parts = []
@@ -394,7 +467,7 @@ def _decode_independent_pallas(buf, blocks, bs) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, np.uint8)
 
 
-def _decode_linked(buf, blocks, bs) -> np.ndarray:
+def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:
     """Linked-frame device decode: one jitted scan carrying the window."""
     from ..ops.linked_xla import decode_linked_scan
 
@@ -410,9 +483,15 @@ def _decode_linked(buf, blocks, bs) -> np.ndarray:
         lens[i] = size
         stored[i] = 1 if st else 0
 
+    init_window = np.zeros(WINDOW_SIZE, np.int32)
+    init_filled = 0
+    if window is not None:
+        init_filled = len(window)
+        init_window[WINDOW_SIZE - init_filled:] = window
+
     outs, out_lens = decode_linked_scan(
         jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(stored),
-        jnp.zeros(WINDOW_SIZE, jnp.int32), jnp.int32(0), bs)
+        jnp.asarray(init_window), jnp.int32(init_filled), bs)
 
     from ..ops.assemble_xla import concat_blocks
     flat, total = concat_blocks(outs[:nb], out_lens[:nb], nb * bs)

@@ -68,18 +68,25 @@ class ShardedCodec:
         bs = self.config.resolved_block_size
         use_fp = self.use_fingerprints
 
-        def enc_shard(work, lens, hist_start):
-            out, out_len = jax.vmap(
-                lambda w, l, h: encode_block(w, l, 0, use_fp, h)
-            )(work, lens, hist_start)
-            total = jax.lax.psum(jnp.sum(out_len), axis)
-            return out, out_len, total
+        # Encoders are cached per static history length (0 = plain blocks,
+        # WINDOW_SIZE = dictionary-warmed blocks).
+        self._enc_cache = {}
 
-        self._enc = jax.jit(shard_map(
-            enc_shard, mesh=mesh, check_vma=False,
-            in_specs=(P(axis, None), P(axis), P(axis)),
-            out_specs=(P(axis, None), P(axis), P()),
-        ))
+        def make_enc(hist_len: int):
+            def enc_shard(work, lens, hist_start):
+                out, out_len = jax.vmap(
+                    lambda w, l, h: encode_block(w, l, hist_len, use_fp, h)
+                )(work, lens, hist_start)
+                total = jax.lax.psum(jnp.sum(out_len), axis)
+                return out, out_len, total
+
+            return jax.jit(shard_map(
+                enc_shard, mesh=mesh, check_vma=False,
+                in_specs=(P(axis, None), P(axis), P(axis)),
+                out_specs=(P(axis, None), P(axis), P()),
+            ))
+
+        self._make_enc = make_enc
 
         def dec_shard(comp, lens, hist):
             out, out_len = jax.vmap(
@@ -105,24 +112,28 @@ class ShardedCodec:
 
     # -- public API ---------------------------------------------------------
 
-    def compress(self, data) -> np.ndarray:
+    def compress(self, data, dictionary=None) -> np.ndarray:
         """Compress to a spec-exact LZ4 frame, blocks sharded over chips."""
-        def encode_batch(work, lens):
+        def encode_batch(work, lens, hist_len, hist_start):
             nb = work.shape[0]
             work_p = self._pad_rows(np.asarray(work))
             lens_p = self._pad_rows(np.asarray(lens))
-            hs = np.zeros(work_p.shape[0], dtype=np.int32)
+            hs = np.full(work_p.shape[0], hist_start, dtype=np.int32)
             sh = NamedSharding(self.mesh, P(self.axis, None))
             sh1 = NamedSharding(self.mesh, P(self.axis))
-            out, out_len, _ = self._enc(
+            if hist_len not in self._enc_cache:
+                self._enc_cache[hist_len] = self._make_enc(hist_len)
+            out, out_len, _ = self._enc_cache[hist_len](
                 jax.device_put(jnp.asarray(work_p), sh),
                 jax.device_put(jnp.asarray(lens_p), sh1),
                 jax.device_put(jnp.asarray(hs), sh1))
             return out[:nb], out_len[:nb]
         return device_compress_frame(data, self.config,
-                                     self.use_fingerprints, encode_batch)
+                                     self.use_fingerprints, encode_batch,
+                                     dictionary)
 
-    def decompress(self, data, verify_checksum: bool = True) -> np.ndarray:
+    def decompress(self, data, verify_checksum: bool = True,
+                   dictionary=None) -> np.ndarray:
         """Decompress an independent-block frame, blocks sharded over chips."""
         def decode_batch(comp, lens, hist):
             nb = comp.shape[0]
@@ -136,4 +147,5 @@ class ShardedCodec:
                 jax.device_put(jnp.asarray(lens_p), sh1),
                 jax.device_put(jnp.asarray(hist_p), sh))
             return out[:nb], out_len[:nb]
-        return device_decompress_frame(data, verify_checksum, decode_batch)
+        return device_decompress_frame(data, verify_checksum, decode_batch,
+                                       dictionary=dictionary)

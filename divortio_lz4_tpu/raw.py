@@ -51,15 +51,23 @@ def decompress_raw(src,
                    src_len: Optional[int] = None,
                    dst_off: int = 0,
                    dictionary=None,
-                   backend: Optional[str] = None) -> int:
-    """Decompress one raw LZ4 block into *dst*; returns bytes written.
+                   backend: Optional[str] = None):
+    """Decompress one raw LZ4 block.
 
-    *dst* must be exactly sized (or larger) — raw blocks carry no size info.
-    Raises "Output Buffer Too Small" when it is not.
+    *dst* is either an output buffer (writes in place, returns bytes
+    written — the kernel ABI) or an int capacity (allocates, returns the
+    decoded bytes — the reference docs' ``decompressRaw(data, originalSize)``
+    shape, docs/API.md:202-218). Raw blocks carry no size info, so the
+    capacity must cover the plaintext; raises "Output Buffer Too Small"
+    when it does not.
     """
     be = get_backend(backend)
     buf = ensure_buffer(src)
     if src_len is None:
         src_len = len(buf) - src_off
     dict_buf = ensure_buffer(dictionary) if dictionary is not None else None
+    if isinstance(dst, (int, np.integer)):
+        out = np.empty(int(dst) + dst_off, dtype=np.uint8)
+        n = be.decompress_block(buf, src_off, src_len, out, dst_off, dict_buf)
+        return out[dst_off: dst_off + n]
     return be.decompress_block(buf, src_off, src_len, dst, dst_off, dict_buf)

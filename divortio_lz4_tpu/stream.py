@@ -316,6 +316,15 @@ class LZ4Decoder:
                         raise ValueError("LZ4: Frame requires a Dictionary")
                     if xxhash32(self._dict, 0) != frame_dict_id:
                         raise ValueError("LZ4: Dictionary ID Mismatch")
+                # Header-checksum byte (skipped by the reference; verified
+                # here so a corrupted descriptor raises instead of
+                # misparsing the frame).
+                if self.verify_checksum:
+                    desc = np.frombuffer(
+                        bytes(self._buf[: hdr_len - 1]), np.uint8)
+                    if ((xxhash32(desc, 0) >> 8) & 0xFF) \
+                            != self._buf[hdr_len - 1]:
+                        raise ValueError("LZ4: Header Checksum Error")
                 del self._buf[:hdr_len]
                 self._state = _S_BLOCK_SIZE
 
@@ -350,8 +359,13 @@ class LZ4Decoder:
                 if self._block_word & UNCOMPRESSED_FLAG:
                     chunk_out = data
                 else:
-                    hist = (self._window[: self._window_pos]
-                            if self._window_pos > 0 else None)
+                    if self._flg & FLG_BLOCK_INDEPENDENCE:
+                        # Spec semantics: an independent block's window
+                        # resets — history is the dictionary only.
+                        hist = self._dict
+                    else:
+                        hist = (self._window[: self._window_pos]
+                                if self._window_pos > 0 else None)
                     n = self._be.decompress_block(
                         data, 0, bsize, self._workspace, 0, hist)
                     chunk_out = np.array(self._workspace[:n])

@@ -143,7 +143,9 @@ class XXHash32:
             if self._memsize < 16:
                 return self
             words = np.frombuffer(self._mem.tobytes(), dtype="<u4")
-            self._v1, self._v2, self._v3, self._v4 = _stripes_py(
+            stripe = (_native_round4 if _native_round4 is not None
+                      else _stripes_py)
+            self._v1, self._v2, self._v3, self._v4 = stripe(
                 self._v1, self._v2, self._v3, self._v4, words)
             self._memsize = 0
         # Bulk stripes.
