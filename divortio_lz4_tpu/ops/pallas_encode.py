@@ -21,16 +21,16 @@ table 64KB, double-buffered ≈ 8.5MB.
 Independent blocks only in this revision (hist_len=0); linked blocks use
 encode_linked_scan (XLA) or the host tier.
 
-STATUS: interpret-mode verified BYTE-IDENTICAL to the reference encoder on
-every corpus tested, but the current Mosaic toolchain hangs compiling the
-kernel — even at 1 KB block shapes, and even with the match-extension inner
-loop stubbed out (bisect experiment, so the hang lives in the main sequence
-while_loop + cond-guarded table/emit read-modify-writes, not the nested
-reduction). pallas_decode's similarly-nested kernel compiles in seconds,
-so the difference is likely the per-iteration VMEM RMW pattern inside
-lax.cond branches. Until restructured (e.g. predicated pl.when emission
-with SMEM-carried cursors), this kernel is test/documentation tier only;
-production device encode remains encode_xla.py and the host tier.
+Round-2 restructuring past the round-1 Mosaic hang (the old kernel nested
+emit while_loops inside lax.cond branches inside the sequence while_loop,
+with VMEM RMW at the innermost level): the hit/miss branch is now
+STRAIGHT-LINE predicated code — every iteration computes the would-be
+sequence layout arithmetically, emission writes run under a single
+``pl.when(good)`` (fori-loop chunk writes only, the shape pallas_decode
+compiles), the 0xFF-run length extensions are masked 128-lane vector writes
+instead of a byte-at-a-time while_loop, and the loop state advances by
+``jnp.where`` selects. The only remaining lax.cond wraps the read-only
+match-extension search (skipped on the miss path, which dominates).
 """
 
 from __future__ import annotations
@@ -121,23 +121,27 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
                 return 0
             jax.lax.fori_loop(0, HASH_MASK // LANES + 1, clr, 0)
 
-            def byte_at(q):
-                return readlane(words_ref, src_base, q) & 0xFF
+            def ext_count(val):
+                """Encoded size of the 0xFF-run length extension for val."""
+                return jnp.where(val >= 15,
+                                 1 + jnp.maximum(val - 15, 0) // 255, 0)
 
-            def emit_len_bytes(d, val):
-                """Write the 0xFF-run extension bytes for val (>=15)."""
-                def cond(st):
-                    rem, _ = st
-                    return rem >= 255
+            def emit_ext(d, val):
+                """Masked-vector write of the 0xFF-run extension at d (no-op
+                when val < 15). Wild-writes past the run; every byte beyond
+                it is rewritten by the following literals/sequences."""
+                rem = jnp.maximum(val - 15, 0)
+                k = rem // 255          # number of 0xFF bytes
+                last = rem % 255        # remainder byte at index k
+                nb = ext_count(val)
 
-                def body(st):
-                    rem, d = st
-                    writebyte(out_ref, out_base, d, jnp.int32(255))
-                    return rem - 255, d + 1
-
-                rem, d = jax.lax.while_loop(cond, body, (val - 15, d))
-                writebyte(out_ref, out_base, d, rem)
-                return d + 1
+                def chunk(i, _):
+                    jj = i * LANES + iota
+                    v = jnp.where(jj < k, jnp.int32(255),
+                                  jnp.full((1, LANES), last, jnp.int32))
+                    write128(out_ref, out_base, d + i * LANES, v)
+                    return 0
+                jax.lax.fori_loop(0, (nb + LANES - 1) // LANES, chunk, 0)
 
             def copy_literals(dst, src, n):
                 def body(k, _):
@@ -147,23 +151,10 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
                     return 0
                 jax.lax.fori_loop(0, (n + LANES - 1) // LANES, body, 0)
 
-            def emit_run(d, lit_len, anchor, match_nib):
-                """Token + lit extension + literals; returns new d."""
-                token_pos = d
-                d = d + 1
-                d = jax.lax.cond(
-                    lit_len >= 15,
-                    lambda dd: emit_len_bytes(dd, lit_len),
-                    lambda dd: dd, d)
-                copy_literals(d, anchor, lit_len)
-                d = d + lit_len
-                token = (jnp.minimum(lit_len, 15) << 4) | match_nib
-                writebyte(out_ref, out_base, token_pos, token)
-                return d
-
             def extend_match(s, cand):
                 """Forward match length from s/cand (starting at +4),
-                capped at match_limit; 128-byte vector compares."""
+                capped at match_limit; 128-byte vector compares.
+                Read-only — safe under lax.cond."""
                 def cond(st):
                     k, done = st
                     return jnp.logical_not(done)
@@ -195,30 +186,42 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
                         & (readlane(words_ref, src_base,
                                     jnp.maximum(cand, 0)) == seq))
 
-                def miss(args):
-                    s, anchor, d, search = args
-                    return (s + (search >> SKIP_TRIGGER), anchor, d,
-                            search + 1)
+                # Match length: guarded read-only search (misses dominate).
+                mlen = jax.lax.cond(
+                    good,
+                    lambda args: extend_match(*args),
+                    lambda args: jnp.int32(MIN_MATCH),
+                    (s, jnp.maximum(cand, 0)))
 
-                def hit(args):
-                    s, anchor, d, search = args
-                    mlen = extend_match(s, cand)
-                    lit_len = s - anchor
-                    mcode = mlen - MIN_MATCH
-                    d = emit_run(d, lit_len, anchor,
-                                 jnp.minimum(mcode, 15))
-                    offset = s - cand
-                    writebyte(out_ref, out_base, d, offset & 0xFF)
-                    writebyte(out_ref, out_base, d + 1, (offset >> 8) & 0xFF)
-                    d = d + 2
-                    d = jax.lax.cond(
-                        mcode >= 15,
-                        lambda dd: emit_len_bytes(dd, mcode),
-                        lambda dd: dd, d)
-                    return (s + mlen, s + mlen, d,
-                            jnp.int32((1 << SKIP_TRIGGER) + 3))
+                # Sequence layout, computed arithmetically every iteration.
+                lit_len = s - anchor
+                mcode = mlen - MIN_MATCH
+                offset = s - cand
+                d_tok = d
+                d_litx = d + 1
+                d_lits = d_litx + ext_count(lit_len)
+                d_off = d_lits + lit_len
+                d_mx = d_off + 2
+                d_next = d_mx + ext_count(mcode)
 
-                return jax.lax.cond(good, hit, miss, (s, anchor, d, search))
+                @pl.when(good)
+                def _():
+                    emit_ext(d_litx, lit_len)
+                    copy_literals(d_lits, anchor, lit_len)
+                    writebyte(out_ref, out_base, d_tok,
+                              (jnp.minimum(lit_len, 15) << 4)
+                              | jnp.minimum(mcode, 15))
+                    writebyte(out_ref, out_base, d_off, offset & 0xFF)
+                    writebyte(out_ref, out_base, d_off + 1,
+                              (offset >> 8) & 0xFF)
+                    emit_ext(d_mx, mcode)
+
+                adv = s + mlen
+                return (jnp.where(good, adv, s + (search >> SKIP_TRIGGER)),
+                        jnp.where(good, adv, anchor),
+                        jnp.where(good, d_next, d),
+                        jnp.where(good, jnp.int32((1 << SKIP_TRIGGER) + 3),
+                                  search + 1))
 
             s, anchor, d, _ = jax.lax.while_loop(
                 lambda st: st[0] < mf_limit, seq_step,
@@ -228,14 +231,12 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
             # trailing literal run
             lit_len = src_len - anchor
             token_pos = d
-            d = d + 1
-            d = jax.lax.cond(lit_len >= 15,
-                             lambda dd: emit_len_bytes(dd, lit_len),
-                             lambda dd: dd, d)
-            copy_literals(d, anchor, lit_len)
-            d = d + lit_len
+            d_lits = d + 1 + ext_count(lit_len)
+            emit_ext(d + 1, lit_len)
+            copy_literals(d_lits, anchor, lit_len)
             writebyte(out_ref, out_base, token_pos,
                       jnp.minimum(lit_len, 15) << 4)
+            d = d_lits + lit_len
             d = jnp.where(src_len > 0, d, 0)
 
             out_ref[pl.ds(out_base + out_nr - 1, 1), :] = jnp.full(
