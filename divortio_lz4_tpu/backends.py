@@ -26,16 +26,25 @@ from .ops.block_ref import (
 
 
 class Backend:
-    """A host block-kernel implementation bundle."""
+    """A host block-kernel implementation bundle.
+
+    compress_frame_body / decompress_frame_body are optional whole-frame
+    block-loop kernels (one native call per frame instead of per block);
+    the frame layer falls back to its per-block Python loop when absent.
+    """
 
     def __init__(self, name: str,
                  compress_block: Callable,
                  decompress_block: Callable,
-                 warm_table: Callable):
+                 warm_table: Callable,
+                 compress_frame_body: Optional[Callable] = None,
+                 decompress_frame_body: Optional[Callable] = None):
         self.name = name
         self.compress_block = compress_block
         self.decompress_block = decompress_block
         self.warm_table = warm_table
+        self.compress_frame_body = compress_frame_body
+        self.decompress_frame_body = decompress_frame_body
 
 
 _REGISTRY: Dict[str, Backend] = {}

@@ -78,7 +78,8 @@ def compress_frame(data,
         out = output_buffer
     else:
         nblocks = max(1, -(-n // block_size))
-        out = np.empty(19 + nblocks * 8 + n + (n // 255) + 16 * nblocks + 8,
+        # Worst-case frame bound + 24 bytes of native wild-copy slack.
+        out = np.empty(19 + nblocks * 9 + n + (n // 255) + 16 * nblocks + 32,
                        dtype=np.uint8)
     pos = 0
 
@@ -118,31 +119,41 @@ def compress_frame(data,
 
     src_pos = input_start
     total_end = input_start + n
-    while src_pos < total_end:
-        end = min(src_pos + block_size, total_end)
-        bsize = end - src_pos
-        size_pos = pos
-        pos += 4
-        comp = be.compress_block(working, out, src_pos, bsize, table, pos)
-        if 0 < comp < bsize:
-            write_u32le(out, size_pos, comp)
-            pos += comp
-        else:
-            # Stored-block fallback (bufferCompress.js:226-231).
-            write_u32le(out, size_pos, bsize | UNCOMPRESSED_FLAG)
-            out[pos: pos + bsize] = working[src_pos:end]
-            pos += bsize
-        if config.block_checksums:
-            data_start = size_pos + 4
-            write_u32le(out, pos, xxhash32(out[data_start:pos], 0))
+    nblocks = max(1, -(-n // block_size))
+    body_bound = nblocks * 8 + n + (n // 255) + 16 * nblocks + 4 + 24
+    if (be.compress_frame_body is not None
+            and len(out) - pos >= body_bound):
+        # One native call runs the whole block loop incl. size words,
+        # stored fallback, block checksums, and EndMark.
+        pos += be.compress_frame_body(
+            working, src_pos, total_end, out, pos, block_size, table,
+            config.block_independence, config.block_checksums)
+    else:
+        while src_pos < total_end:
+            end = min(src_pos + block_size, total_end)
+            bsize = end - src_pos
+            size_pos = pos
             pos += 4
-        if config.block_independence:
-            table[:] = 0
-        src_pos = end
+            comp = be.compress_block(working, out, src_pos, bsize, table, pos)
+            if 0 < comp < bsize:
+                write_u32le(out, size_pos, comp)
+                pos += comp
+            else:
+                # Stored-block fallback (bufferCompress.js:226-231).
+                write_u32le(out, size_pos, bsize | UNCOMPRESSED_FLAG)
+                out[pos: pos + bsize] = working[src_pos:end]
+                pos += bsize
+            if config.block_checksums:
+                data_start = size_pos + 4
+                write_u32le(out, pos, xxhash32(out[data_start:pos], 0))
+                pos += 4
+            if config.block_independence:
+                table[:] = 0
+            src_pos = end
+        write_u32le(out, pos, 0)  # EndMark
+        pos += 4
 
     # --- Footer ---
-    write_u32le(out, pos, 0)  # EndMark
-    pos += 4
     if config.content_checksum:
         write_u32le(out, pos, xxhash32(raw, 0))
         pos += 4
@@ -186,7 +197,11 @@ def decompress_frame(data,
     has_content_size = bool(flg & FLG_CONTENT_SIZE)
     has_content_checksum = bool(flg & FLG_CONTENT_CHECKSUM)
     has_dict_id = bool(flg & FLG_DICT_ID)
-    pos += 1  # BD byte: tolerated unvalidated (bufferDecompress.js:74-75)
+    # BD byte: block-max read for the parallel decode path; otherwise
+    # tolerated unvalidated (bufferDecompress.js:74-75).
+    block_max = BLOCK_MAX_SIZES.get((int(buf[pos]) >> 4) & 0x07,
+                                    BLOCK_MAX_SIZES[7])
+    pos += 1
 
     expected_size = 0
     if has_content_size:
@@ -224,6 +239,22 @@ def decompress_frame(data,
         raise ValueError("LZ4: Malformed Input")
 
     use_direct = expected_size > 0
+    if use_direct and be.decompress_frame_body is not None:
+        # One native call runs the whole direct-write block loop (size words,
+        # stored blocks, block-checksum verify, spec window semantics,
+        # EndMark) — same taxonomy as the Python loop below.
+        result = np.empty(expected_size, dtype=np.uint8)
+        result_pos, pos = be.decompress_frame_body(
+            buf, pos, n, result, dict_buf, independent,
+            has_block_checksum, verify_checksum, block_max)
+        result = result[:result_pos]
+        if has_content_checksum and verify_checksum:
+            if pos + 4 > n:
+                raise ValueError("LZ4: Malformed Input")
+            stored_hash = read_u32le(buf, pos)
+            if stored_hash != xxhash32(result, 0):
+                raise ValueError("LZ4: Content Checksum Error")
+        return result
     if use_direct:
         result = np.empty(expected_size, dtype=np.uint8)
         result_pos = 0

@@ -11,7 +11,10 @@
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -119,13 +122,21 @@ void lz4t_warm_table(int32_t* table, const uint8_t* buf, int64_t limit) {
   }
 }
 
-// Greedy LZ4 block compress; returns bytes written at dst+dst_off.
-// Semantics: blockCompress.js:31-232 (hash table stores pos+1; acceleration
-// stride grows every 64 misses; forward-only extension to src_end-5;
-// token + 0xFF-run lengths; 2-byte LE offset; tail literals).
-int64_t lz4t_compress_block(const uint8_t* src, uint8_t* dst,
-                            int64_t src_start, int64_t src_len,
-                            int32_t* table, int64_t dst_off) {
+// Greedy LZ4 block compress core. Semantics: blockCompress.js:31-232 (hash
+// table stores pos+1; acceleration stride grows every 64 misses; forward-only
+// extension to src_end-5; token + 0xFF-run lengths; 2-byte LE offset; tail
+// literals) — byte-identical output across WILD settings.
+//
+// WILD=true copies literal runs as unconditional 16-byte chunks (up to 15
+// bytes of spill past the run, overwritten by the following sequence) —
+// callers must guarantee >= 16 bytes of dst slack beyond the block bound.
+// The public raw ABI (lz4t_compress_block) uses WILD=false: exact copies,
+// no slack contract on user-provided buffers.
+static inline int64_t compress_block_core(const uint8_t* __restrict src,
+                                          uint8_t* __restrict dst,
+                                          int64_t src_start, int64_t src_len,
+                                          int32_t* __restrict table,
+                                          int64_t dst_off, const int WILD) {
   int64_t s = src_start;
   const int64_t s_end = src_start + src_len;
   const int64_t mf_limit = s_end - MF_LIMIT;
@@ -158,7 +169,15 @@ int64_t lz4t_compress_block(const uint8_t* src, uint8_t* dst,
       dst[token_pos] = (uint8_t)(lit_len << 4);
     }
     if (lit_len > 0) {
-      std::memcpy(dst + d, src + anchor, (size_t)lit_len);
+      if (WILD) {
+        uint8_t* dp = dst + d;
+        const uint8_t* sp2 = src + anchor;
+        int64_t l = lit_len;
+        do { std::memcpy(dp, sp2, 16); dp += 16; sp2 += 16; l -= 16;
+        } while (l > 0);
+      } else {
+        std::memcpy(dst + d, src + anchor, (size_t)lit_len);
+      }
       d += lit_len;
     }
 
@@ -219,6 +238,158 @@ int64_t lz4t_compress_block(const uint8_t* src, uint8_t* dst,
   return d - dst_off;
 }
 
+int64_t lz4t_compress_block(const uint8_t* src, uint8_t* dst,
+                            int64_t src_start, int64_t src_len,
+                            int32_t* table, int64_t dst_off) {
+  return compress_block_core(src, dst, src_start, src_len, table, dst_off,
+                             0);
+}
+
+// Compress a whole frame BODY — every block loop iteration of the frame
+// layer (size word, block, stored fallback, optional block checksum, table
+// clear, EndMark) in ONE native call; the Python frame layer contributes
+// only the ~20-byte header and optional trailing content checksum. This is
+// the host-tier "runtime" analog of the reference's per-call JS loop
+// (bufferCompress.js:209-245) without per-block interpreter overhead.
+//
+// src spans [0, total_end); compression starts at input_start (a nonzero
+// start is the dictionary prefix of a linked frame — warm the table first
+// via lz4t_warm_table). dst must provide the full worst-case frame-body
+// bound: sum over blocks of (4 + block_bound + 4) + 4, plus 16 wild-copy
+// slack. Returns bytes written at dst+dst_off.
+int64_t lz4t_compress_frame_body(const uint8_t* __restrict src,
+                                 int64_t input_start, int64_t total_end,
+                                 uint8_t* __restrict dst, int64_t dst_off,
+                                 int64_t block_size,
+                                 int32_t* __restrict table,
+                                 int32_t independent,
+                                 int32_t block_checksums) {
+  int64_t pos = dst_off;
+  int64_t src_pos = input_start;
+  while (src_pos < total_end) {
+    int64_t end = src_pos + block_size;
+    if (end > total_end) end = total_end;
+    int64_t bsize = end - src_pos;
+    int64_t size_pos = pos;
+    pos += 4;
+    int64_t comp = compress_block_core(src, dst, src_pos, bsize, table,
+                                       pos, 1);
+    if (comp > 0 && comp < bsize) {
+      uint32_t w = (uint32_t)comp;
+      std::memcpy(dst + size_pos, &w, 4);
+      pos += comp;
+    } else {
+      uint32_t w = (uint32_t)bsize | 0x80000000u;
+      std::memcpy(dst + size_pos, &w, 4);
+      std::memcpy(dst + pos, src + src_pos, (size_t)bsize);
+      pos += bsize;
+    }
+    if (block_checksums) {
+      uint32_t ck = lz4t_xxhash32(dst + size_pos + 4,
+                                  pos - (size_pos + 4), 0);
+      std::memcpy(dst + pos, &ck, 4);
+      pos += 4;
+    }
+    if (independent) std::memset(table, 0, (HASH_MASK + 1) * sizeof(int32_t));
+    src_pos = end;
+  }
+  uint32_t zero = 0;
+  std::memcpy(dst + pos, &zero, 4);  // EndMark
+  pos += 4;
+  return pos - dst_off;
+}
+
+// Thread-parallel variant for INDEPENDENT frames: blocks are compressed
+// concurrently into per-block scratch (the format's primary parallel axis,
+// the same one the TPU tier shards over chips), then stitched serially into
+// the exact same wire layout/bytes as the serial path. Block 0 uses the
+// caller's (possibly dictionary-warmed) table; later blocks start from a
+// cleared table — identical to the serial per-block clear semantics.
+int64_t lz4t_compress_frame_body_mt(const uint8_t* __restrict src,
+                                    int64_t input_start, int64_t total_end,
+                                    uint8_t* __restrict dst, int64_t dst_off,
+                                    int64_t block_size,
+                                    int32_t* __restrict table,
+                                    int32_t block_checksums,
+                                    int32_t nthreads) {
+  const int64_t n = total_end - input_start;
+  const int64_t nblocks = n > 0 ? (n + block_size - 1) / block_size : 0;
+  if (nthreads < 2 || nblocks < 2) {
+    return lz4t_compress_frame_body(src, input_start, total_end, dst,
+                                    dst_off, block_size, table, 1,
+                                    block_checksums);
+  }
+  if (nthreads > nblocks) nthreads = (int32_t)nblocks;
+
+  // Per-block scratch at a fixed stride (worst-case bound + wild slack).
+  const int64_t stride = block_size + block_size / 255 + 16 + 16;
+  uint8_t* scratch = (uint8_t*)std::malloc((size_t)(nblocks * stride));
+  int64_t* comp_sizes = (int64_t*)std::malloc(nblocks * sizeof(int64_t));
+  if (!scratch || !comp_sizes) {
+    std::free(scratch); std::free(comp_sizes);
+    return lz4t_compress_frame_body(src, input_start, total_end, dst,
+                                    dst_off, block_size, table, 1,
+                                    block_checksums);
+  }
+
+  auto worker = [&](int t) {
+    std::vector<int32_t> local(HASH_MASK + 1);
+    for (int64_t b = t; b < nblocks; b += nthreads) {
+      int64_t s0 = input_start + b * block_size;
+      int64_t end = s0 + block_size;
+      if (end > total_end) end = total_end;
+      int32_t* tb;
+      if (b == 0) {
+        tb = table;  // dictionary-warmed state, exactly as the serial path
+      } else {
+        std::memset(local.data(), 0, (HASH_MASK + 1) * sizeof(int32_t));
+        tb = local.data();
+      }
+      comp_sizes[b] = compress_block_core(src, scratch + b * stride, s0,
+                                          end - s0, tb, 0, 1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nthreads; t++) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+
+  // Serial stitch into the spec wire layout.
+  int64_t pos = dst_off;
+  for (int64_t b = 0; b < nblocks; b++) {
+    int64_t s0 = input_start + b * block_size;
+    int64_t end = s0 + block_size;
+    if (end > total_end) end = total_end;
+    int64_t bsize = end - s0;
+    int64_t comp = comp_sizes[b];
+    int64_t size_pos = pos;
+    pos += 4;
+    if (comp > 0 && comp < bsize) {
+      uint32_t w = (uint32_t)comp;
+      std::memcpy(dst + size_pos, &w, 4);
+      std::memcpy(dst + pos, scratch + b * stride, (size_t)comp);
+      pos += comp;
+    } else {
+      uint32_t w = (uint32_t)bsize | 0x80000000u;
+      std::memcpy(dst + size_pos, &w, 4);
+      std::memcpy(dst + pos, src + s0, (size_t)bsize);
+      pos += bsize;
+    }
+    if (block_checksums) {
+      uint32_t ck = lz4t_xxhash32(dst + size_pos + 4,
+                                  pos - (size_pos + 4), 0);
+      std::memcpy(dst + pos, &ck, 4);
+      pos += 4;
+    }
+  }
+  uint32_t zero = 0;
+  std::memcpy(dst + pos, &zero, 4);  // EndMark
+  pos += 4;
+  std::free(scratch);
+  std::free(comp_sizes);
+  return pos - dst_off;
+}
+
 // ---------------------------------------------------------------------------
 // LZ4 block decompress
 // ---------------------------------------------------------------------------
@@ -228,6 +399,7 @@ static const int64_t ERR_OUTPUT_SMALL = -1;   // "Output Buffer Too Small"
 static const int64_t ERR_MALFORMED = -2;      // "Malformed Input"
 static const int64_t ERR_OFFSET0 = -3;        // "Invalid Offset 0"
 static const int64_t ERR_DICT_OOB = -4;       // "Dictionary Offset Out of Bounds"
+static const int64_t ERR_BLOCK_CK = -5;       // "Block Checksum Error"
 
 // Sequence interpreter with dictionary back-references
 // (blockDecompress.js:55-272). dst_cap is the full output buffer length;
@@ -359,6 +531,178 @@ int64_t lz4t_decompress_block(const uint8_t* src, int64_t src_off,
     }
   }
   return o - dst_off;
+}
+
+// Decode a whole frame BODY (direct-write strategy) in one native call —
+// the block loop of the frame layer: size words, stored blocks, optional
+// block-checksum verification, spec window semantics, EndMark. Mirrors
+// frame.py's loop exactly (same error taxonomy/order). Returns plaintext
+// bytes written to result, or a negative error code; *wire_end_out receives
+// the wire position just past the last consumed word (for the trailing
+// content-checksum read on the Python side).
+//
+// Window semantics: independent blocks reference the dictionary ONLY (the
+// window resets per block — lz4frame semantics); linked blocks reference
+// prior output (and the dictionary below output start).
+int64_t lz4t_decompress_frame_body(const uint8_t* __restrict buf,
+                                   int64_t pos, int64_t n,
+                                   uint8_t* __restrict result,
+                                   int64_t result_cap,
+                                   const uint8_t* dict, int64_t dict_len,
+                                   int32_t independent,
+                                   int32_t block_checksums,
+                                   int32_t verify,
+                                   int64_t* wire_end_out) {
+  int64_t result_pos = 0;
+  while (pos < n) {
+    if (pos + 4 > n) return ERR_MALFORMED;
+    uint32_t word;
+    std::memcpy(&word, buf + pos, 4);
+    pos += 4;
+    if (word == 0) break;  // EndMark
+    int64_t bsize = word & 0x7FFFFFFF;
+    int stored = (word & 0x80000000u) != 0;
+    if (pos + bsize > n) return ERR_MALFORMED;
+
+    if (block_checksums) {
+      if (pos + bsize + 4 > n) return ERR_MALFORMED;
+      if (verify) {
+        uint32_t stored_ck;
+        std::memcpy(&stored_ck, buf + pos + bsize, 4);
+        if (stored_ck != lz4t_xxhash32(buf + pos, bsize, 0))
+          return ERR_BLOCK_CK;
+      }
+    }
+
+    if (stored) {
+      if (result_pos + bsize > result_cap) return ERR_OUTPUT_SMALL;
+      std::memcpy(result + result_pos, buf + pos, (size_t)bsize);
+      result_pos += bsize;
+    } else if (independent) {
+      int64_t rc = lz4t_decompress_block(buf, pos, bsize,
+                                         result + result_pos,
+                                         result_cap - result_pos, 0,
+                                         dict, dict_len);
+      if (rc < 0) return rc;
+      result_pos += rc;
+    } else {
+      int64_t rc = lz4t_decompress_block(buf, pos, bsize, result, result_cap,
+                                         result_pos, dict, dict_len);
+      if (rc < 0) return rc;
+      result_pos += rc;
+    }
+    pos += bsize;
+    if (block_checksums) pos += 4;
+  }
+  *wire_end_out = pos;
+  return result_pos;
+}
+
+// Thread-parallel direct-write decode for INDEPENDENT frames: a serial
+// O(nblocks) block-table scan, concurrent per-block decode into scratch
+// (each block's window is the dictionary only — spec semantics), then a
+// serial stitch. Bytes identical to the serial path. block_max is the BD
+// header's block maximum (the spec cap on a block's decoded size); a block
+// exceeding it falls back to the serial path.
+int64_t lz4t_decompress_frame_body_mt(const uint8_t* __restrict buf,
+                                      int64_t pos, int64_t n,
+                                      uint8_t* __restrict result,
+                                      int64_t result_cap,
+                                      const uint8_t* dict, int64_t dict_len,
+                                      int64_t block_max,
+                                      int32_t block_checksums,
+                                      int32_t verify,
+                                      int32_t nthreads,
+                                      int64_t* wire_end_out) {
+  // Serial block-table scan.
+  std::vector<int64_t> offs, sizes;
+  std::vector<uint8_t> stored_v;
+  int64_t scan = pos;
+  while (scan < n) {
+    if (scan + 4 > n) return ERR_MALFORMED;
+    uint32_t word;
+    std::memcpy(&word, buf + scan, 4);
+    scan += 4;
+    if (word == 0) break;
+    int64_t bsize = word & 0x7FFFFFFF;
+    if (scan + bsize + (block_checksums ? 4 : 0) > n) return ERR_MALFORMED;
+    offs.push_back(scan);
+    sizes.push_back(bsize);
+    stored_v.push_back((word & 0x80000000u) != 0);
+    scan += bsize + (block_checksums ? 4 : 0);
+  }
+  const int64_t nblocks = (int64_t)offs.size();
+  if (nthreads < 2 || nblocks < 2) {
+    return lz4t_decompress_frame_body(buf, pos, n, result, result_cap, dict,
+                                      dict_len, 1, block_checksums, verify,
+                                      wire_end_out);
+  }
+  if (nthreads > nblocks) nthreads = (int32_t)nblocks;
+
+  uint8_t* scratch = (uint8_t*)std::malloc((size_t)(nblocks * block_max));
+  int64_t* dec_sizes = (int64_t*)std::malloc(nblocks * sizeof(int64_t));
+  if (!scratch || !dec_sizes) {
+    std::free(scratch); std::free(dec_sizes);
+    return lz4t_decompress_frame_body(buf, pos, n, result, result_cap, dict,
+                                      dict_len, 1, block_checksums, verify,
+                                      wire_end_out);
+  }
+
+  std::vector<int64_t> errs(nthreads, 0);
+  auto worker = [&](int t) {
+    for (int64_t b = t; b < nblocks; b += nthreads) {
+      if (block_checksums && verify) {
+        uint32_t stored_ck;
+        std::memcpy(&stored_ck, buf + offs[b] + sizes[b], 4);
+        if (stored_ck != lz4t_xxhash32(buf + offs[b], sizes[b], 0)) {
+          errs[t] = ERR_BLOCK_CK;
+          return;
+        }
+      }
+      if (stored_v[b]) {
+        dec_sizes[b] = sizes[b];  // stitched straight from buf
+        if (sizes[b] > block_max) { errs[t] = ERR_OUTPUT_SMALL; return; }
+        continue;
+      }
+      int64_t rc = lz4t_decompress_block(buf, offs[b], sizes[b],
+                                         scratch + b * block_max, block_max,
+                                         0, dict, dict_len);
+      if (rc < 0) { errs[t] = rc; return; }
+      dec_sizes[b] = rc;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nthreads; t++) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+
+  int64_t err = 0;
+  for (int t = 0; t < nthreads; t++) if (errs[t] < 0) err = errs[t];
+  if (err == ERR_OUTPUT_SMALL) {
+    // A block larger than the BD block maximum: out-of-spec but the serial
+    // path tolerates it when the result buffer has room — retry serially.
+    std::free(scratch); std::free(dec_sizes);
+    return lz4t_decompress_frame_body(buf, pos, n, result, result_cap, dict,
+                                      dict_len, 1, block_checksums, verify,
+                                      wire_end_out);
+  }
+  if (err < 0) { std::free(scratch); std::free(dec_sizes); return err; }
+
+  int64_t result_pos = 0;
+  for (int64_t b = 0; b < nblocks; b++) {
+    if (result_pos + dec_sizes[b] > result_cap) {
+      std::free(scratch); std::free(dec_sizes);
+      return ERR_OUTPUT_SMALL;
+    }
+    const uint8_t* srcp = stored_v[b] ? buf + offs[b]
+                                      : scratch + b * block_max;
+    std::memcpy(result + result_pos, srcp, (size_t)dec_sizes[b]);
+    result_pos += dec_sizes[b];
+  }
+  std::free(scratch);
+  std::free(dec_sizes);
+  *wire_end_out = scan;
+  return result_pos;
 }
 
 }  // extern "C"
