@@ -30,7 +30,13 @@ W = WINDOW_SIZE
 def encode_linked_scan(blocks: jax.Array, lens: jax.Array,
                        init_window: jax.Array, init_filled: jax.Array,
                        block_size: int, use_fingerprints: bool = True):
-    """Encode a chain of linked blocks.
+    """Encode a chain of linked blocks as a serial device scan.
+
+    NOTE: the production linked encode is DATA-PARALLEL
+    (parallel/device.py _compress_linked batches per-row plaintext
+    windows — byte-identical output, shardable). This scan variant remains
+    for streaming-shaped callers that produce blocks incrementally and
+    want the window carried in device memory between steps.
 
     Args:
       blocks: i32[nb, block_size] plaintext rows (zero-padded).

@@ -112,7 +112,8 @@ def device_compress_frame(data,
     if use_fingerprints is None:
         use_fingerprints = config.favor_ratio
     if not config.block_independence:
-        return _compress_linked(data, config, use_fingerprints, dictionary)
+        return _compress_linked(data, config, use_fingerprints, dictionary,
+                                encode_batch)
 
     raw = ensure_buffer(data)
     n = len(raw)
@@ -134,9 +135,9 @@ def device_compress_frame(data,
 
     if encode_batch is None:
         def encode_batch(w, l, hl, hs):
-            return encode_blocks_batch(
-                w, l, hl, use_fingerprints,
-                jnp.full(w.shape[0], hs, jnp.int32))
+            hs_rows = jnp.broadcast_to(
+                jnp.asarray(hs, jnp.int32), (w.shape[0],))
+            return encode_blocks_batch(w, l, hl, use_fingerprints, hs_rows)
     d_work = jnp.asarray(work)
     outs, out_lens = encode_batch(d_work, jnp.asarray(lens), hist_len,
                                   hist_start)
@@ -378,10 +379,19 @@ def _rows_bucket(nb: int) -> int:
 
 
 def _compress_linked(data, config: FrameConfig,
-                     use_fingerprints: bool, dictionary=None) -> np.ndarray:
-    """Linked-frame device encode: one jitted scan over the block chain."""
-    from ..ops.linked_xla import encode_linked_scan
+                     use_fingerprints: bool, dictionary=None,
+                     encode_batch=None) -> np.ndarray:
+    """Linked-frame device encode — DATA-PARALLEL, not a serial scan.
 
+    The linked chain's serialism is an encoder-side illusion: block i's 64 KB
+    window is the last 64 KB of *plaintext* before it, which is known from
+    the input up front. Each block therefore encodes independently with its
+    own history slice — the same per-block kernel inputs the round-1 lax.scan
+    produced serially (byte-identical frames), but batched/shardable across
+    chips (SURVEY §2.6 "tail-window" parallelization; the chain being
+    parallelized is lz4Encode.js:262-295). Only DECODE of linked frames is
+    truly sequential (each block's output feeds the next window).
+    """
     if config.block_checksums:
         # Device assembly does not interleave block checksums; the host
         # frame layer covers that configuration.
@@ -392,30 +402,39 @@ def _compress_linked(data, config: FrameConfig,
     n = len(raw)
     bs = config.resolved_block_size
     work, lens, nblocks = _blocks_to_batch(raw, bs)
-    nbp = _rows_bucket(nblocks)
-    if nbp > nblocks:
-        work = np.concatenate(
-            [work, np.zeros((nbp - nblocks, bs), np.int32)])
-        lens = np.concatenate([lens, np.zeros(nbp - nblocks, np.int32)])
 
-    # The scan's initial window IS the dictionary (right-aligned).
     window, dict_id = _dict_window(dictionary)
-    init_window = np.zeros(WINDOW_SIZE, np.int32)
-    init_filled = 0
-    if window is not None:
-        init_filled = len(window)
-        init_window[WINDOW_SIZE - init_filled:] = window
+    dict_len = len(window) if window is not None else 0
 
-    outs, out_lens = encode_linked_scan(
-        jnp.asarray(work), jnp.asarray(lens),
-        jnp.asarray(init_window), jnp.int32(init_filled),
-        bs, use_fingerprints)
+    # Per-row history: row i sees the last 64 KB of plaintext before its
+    # block (dictionary tail for row 0, right-aligned).
+    W = WINDOW_SIZE
+    hist = np.zeros((nblocks, W), np.int32)
+    for i in range(nblocks):
+        avail = min(i * bs, W)
+        if avail > 0:
+            hist[i, W - avail:] = raw[i * bs - avail: i * bs]
+        room = W - avail
+        take = min(dict_len, room)
+        if take > 0:
+            hist[i, room - take: room] = window[dict_len - take:]
+    work_h = np.concatenate([hist, work], axis=1)
+    # First valid history index per row (everything below is zero padding).
+    valid = np.minimum(np.arange(nblocks, dtype=np.int64) * bs + dict_len, W)
+    hist_start = (W - valid).astype(np.int32)
+
+    if encode_batch is None:
+        outs, out_lens = encode_blocks_batch(
+            jnp.asarray(work_h), jnp.asarray(lens), W, use_fingerprints,
+            jnp.asarray(hist_start))
+    else:
+        outs, out_lens = encode_batch(work_h, lens, W, hist_start)
 
     from ..ops.assemble_xla import assemble_blocks
     cap = nblocks * (4 + bs) + 4
     body, body_total = assemble_blocks(
-        outs[:nblocks], out_lens[:nblocks], jnp.asarray(work[:nblocks]),
-        jnp.asarray(lens[:nblocks]), cap)
+        jnp.asarray(outs[:nblocks]), jnp.asarray(out_lens[:nblocks]),
+        jnp.asarray(work[:nblocks]), jnp.asarray(lens[:nblocks]), cap)
     body_np = np.asarray(body[: int(body_total)]).astype(np.uint8)
     header = _frame_header_bytes(config.with_(block_independence=False), n,
                                  dict_id)

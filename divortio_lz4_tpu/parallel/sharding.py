@@ -1,12 +1,17 @@
 """Multi-chip sharded codec: blocks data-parallel over a device mesh.
 
-The scaling design (SURVEY §2.6 / BASELINE config 5): independent frame
-blocks shard across chips along a 1-D "data" mesh axis via shard_map; each
-chip runs the batched block kernels on its shard; compressed sizes combine
-with an ICI psum; the frame is assembled in block order on the host. Linked
-mode's cross-block window would broadcast the 64 KB tail over ICI
-(ppermute) — round 1 ships the data-parallel independent path, the dominant
-production configuration.
+The scaling design (SURVEY §2.6 / BASELINE config 5): frame blocks shard
+across chips along a 1-D "data" mesh axis via shard_map; each chip runs the
+batched block kernels on its shard; compressed sizes combine with an ICI
+psum; the frame is assembled in block order on the host.
+
+Linked mode shards as well: at ENCODE time block i's 64 KB window is the
+plaintext immediately before it — known from the input — so every block
+carries its window as a per-row history slice and the serial chain
+disappears (no ICI traffic needed; better than the tail-window ppermute
+pipeline sketched in SURVEY §2.6 because there is no step dependency at
+all). Linked DECODE is truly sequential (block i's window is block i-1's
+OUTPUT) and runs as the single-device lax.scan.
 
 On one host this also expresses multi-host SPMD: under
 jax.distributed.initialize each process holds its local shard of the global
@@ -56,10 +61,6 @@ class ShardedCodec:
         self.config = (config if config is not None
                        else FrameConfig(block_size=65536,
                                         block_independence=True))
-        if not self.config.block_independence:
-            raise ValueError(
-                "LZ4: ShardedCodec requires block-independent frames "
-                "(linked blocks serialize on the 64KB window chain)")
         self.use_fingerprints = use_fingerprints
         self._build()
 
@@ -113,12 +114,22 @@ class ShardedCodec:
     # -- public API ---------------------------------------------------------
 
     def compress(self, data, dictionary=None) -> np.ndarray:
-        """Compress to a spec-exact LZ4 frame, blocks sharded over chips."""
+        """Compress to a spec-exact LZ4 frame, blocks sharded over chips.
+
+        Linked frames shard too: block i's 64 KB window is plaintext known
+        up front, carried per row as a history slice (device.py
+        _compress_linked) — the chain parallelizes with no ICI traffic at
+        encode time.
+        """
         def encode_batch(work, lens, hist_len, hist_start):
             nb = work.shape[0]
             work_p = self._pad_rows(np.asarray(work))
             lens_p = self._pad_rows(np.asarray(lens))
-            hs = np.full(work_p.shape[0], hist_start, dtype=np.int32)
+            hs = np.broadcast_to(
+                np.asarray(hist_start, np.int32), (nb,)).copy()
+            # Padding rows carry no valid history.
+            hs_p = np.full(work_p.shape[0], hist_len, np.int32)
+            hs_p[:nb] = hs
             sh = NamedSharding(self.mesh, P(self.axis, None))
             sh1 = NamedSharding(self.mesh, P(self.axis))
             if hist_len not in self._enc_cache:
@@ -126,7 +137,7 @@ class ShardedCodec:
             out, out_len, _ = self._enc_cache[hist_len](
                 jax.device_put(jnp.asarray(work_p), sh),
                 jax.device_put(jnp.asarray(lens_p), sh1),
-                jax.device_put(jnp.asarray(hs), sh1))
+                jax.device_put(jnp.asarray(hs_p), sh1))
             return out[:nb], out_len[:nb]
         return device_compress_frame(data, self.config,
                                      self.use_fingerprints, encode_batch,

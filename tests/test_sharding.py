@@ -94,10 +94,35 @@ def test_sharded_interops_with_host_paths(compressible, rng):
     np.testing.assert_array_equal(codec.decompress(np.array(host_frame)), data)
 
 
-def test_sharded_rejects_linked_config():
-    with pytest.raises(ValueError, match="independent"):
-        ShardedCodec(make_mesh(2),
-                     config=FrameConfig(block_independence=False))
+def test_sharded_linked_roundtrip(compressible):
+    # Linked frames shard at encode time (per-row plaintext windows);
+    # output is byte-identical to the single-device linked encoder and
+    # ratio beats independent mode (cross-block window matches).
+    codec = ShardedCodec(make_mesh(4),
+                         config=FrameConfig(block_size=65536,
+                                            block_independence=False))
+    data = np.asarray(compressible(300_000))
+    frame = codec.compress(data)
+    single = device_compress_frame(
+        data, FrameConfig(block_size=65536, block_independence=False))
+    assert bytes(frame) == bytes(single)
+    np.testing.assert_array_equal(decompress_frame(np.array(frame)), data)
+    np.testing.assert_array_equal(codec.decompress(np.array(frame)), data)
+    indep = ShardedCodec(make_mesh(4)).compress(data)
+    assert len(frame) <= len(indep)
+
+
+def test_sharded_linked_with_dictionary(compressible):
+    codec = ShardedCodec(make_mesh(4),
+                         config=FrameConfig(block_size=65536,
+                                            block_independence=False))
+    data = np.asarray(compressible(200_000))
+    d = np.array(data[:8000])
+    frame = codec.compress(data, dictionary=d)
+    np.testing.assert_array_equal(
+        decompress_frame(np.array(frame), dictionary=d), data)
+    np.testing.assert_array_equal(
+        codec.decompress(np.array(frame), dictionary=d), data)
 
 
 def test_device_frame_with_checksums(compressible):
