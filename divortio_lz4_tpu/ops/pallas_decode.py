@@ -54,7 +54,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
-                 out_base: int):
+                 out_base: int, out_cap: int):
     """Build the kernel for a (rows)-blocks-per-step layout.
 
     Refs (2D, lane dim 128):
@@ -123,6 +123,13 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
                     cond, body, (base, p, jnp.int32(255)))
                 return ln, p
 
+            # Hostile-input write bound: parsed lengths clamp so the write
+            # cursor never leaves this block's io region (a no-op for valid
+            # streams, whose total output fits out_cap by construction).
+            # Wild 128-byte chunk writes then spill at most into the SLACK
+            # rows. The fuzz suite drives this with garbage blocks.
+            o_limit = out_base + out_cap
+
             def seq_body(st):
                 p, o = st
                 token = readbyte(comp_ref, comp_base, p)
@@ -132,6 +139,7 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
                     (token >> 4) == 15,
                     lambda pp: parse_ext(pp, jnp.int32(15)),
                     lambda pp: (token >> 4, pp), p)
+                lit_len = jnp.minimum(lit_len, o_limit - o)
 
                 # literals: wild 128-byte chunks
                 def lit_chunk(k, _):
@@ -154,8 +162,12 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
                         (token & 15) == 15,
                         lambda pp: parse_ext(pp, jnp.int32(15)),
                         lambda pp: (token & 15, pp), p)
-                    mlen = mlen + 4
-                    cs = o - offset
+                    mlen = jnp.minimum(mlen + 4, o_limit - o)
+                    # Hostile offsets (0, or reaching before the io region)
+                    # zero the copy instead of reading out of bounds.
+                    mlen = jnp.where((offset >= 1) & (offset <= o), mlen, 0)
+                    offset = jnp.clip(offset, 1, jnp.maximum(o, 1))
+                    cs = jnp.maximum(o - offset, 0)
                     nchunks = (mlen + LANES - 1) // LANES
 
                     def far(_):
@@ -205,7 +217,7 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
                         jax.lax.fori_loop(0, nchunks, body, 0)
                         return 0
 
-                    branch = jnp.where(offset >= LANES, 0,
+                    branch = jnp.where((offset >= LANES) | (mlen == 0), 0,
                                        jnp.where(offset == 1, 2, 1))
                     jax.lax.switch(branch, [far, near, rle], 0)
                     return p, o + mlen
@@ -284,7 +296,7 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     )
 
     io, = pl.pallas_call(
-        _make_kernel(rows, comp_nr, io_nr, hist_nr, out_base),
+        _make_kernel(rows, comp_nr, io_nr, hist_nr, out_base, block_size),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nbp * io_nr, LANES), jnp.int32)],
         interpret=interpret,

@@ -1,11 +1,18 @@
-"""Worker offload (L4d analog) — background-thread parallel codec.
+"""Worker offload (L4d analog) — background thread/process parallel codec.
 
 The reference offloads to a lazily-created singleton Web Worker with
 message-ID correlation and transferable buffers
 (src/webWorker/workerClient.js:28-153, lz4.worker.js:30-108). The host-side
-equivalent here is a lazy singleton thread pool: the native kernels release
-the GIL inside the C call, so worker threads give true parallelism with
-zero-copy numpy views (the moral equivalent of SharedArrayBuffer transfer).
+equivalent here is a lazy singleton pool:
+
+- THREAD pool (default): the native kernels release the GIL inside the C
+  call, so worker threads give true parallelism with zero-copy numpy views
+  (the moral equivalent of SharedArrayBuffer transfer).
+- PROCESS pool (``LZ4Worker.configure(use_processes=True)``): one-shot
+  buffer tasks run in separate interpreters — real parallelism even on the
+  pure-Python backend, at the cost of pickling the buffers (the moral
+  equivalent of structured-clone postMessage). Stream tasks always use
+  threads (their chunk iterables are not picklable in general).
 
 ``LZ4Worker.compress(data)`` returns a Future; ``.result()`` joins it. Stream
 variants pipe an iterable of chunks through the worker.
@@ -15,7 +22,8 @@ from __future__ import annotations
 
 import itertools
 import threading
-from concurrent.futures import Future, ThreadPoolExecutor
+from concurrent.futures import Executor, Future, ProcessPoolExecutor, \
+    ThreadPoolExecutor
 from typing import Iterable, Iterator, Optional
 
 from .config import DEFAULT_CONFIG, FrameConfig
@@ -31,25 +39,65 @@ class LZ4Worker:
     ids (:16-23), error propagation back to the caller's Future.
     """
 
-    _pool: Optional[ThreadPoolExecutor] = None
+    _pool: Optional[Executor] = None
+    _thread_pool: Optional[ThreadPoolExecutor] = None
     _lock = threading.Lock()
     _task_ids = itertools.count(1)
     max_workers: int = 4
+    use_processes: bool = False
 
     @classmethod
-    def _executor(cls) -> ThreadPoolExecutor:
+    def configure(cls, max_workers: Optional[int] = None,
+                  use_processes: Optional[bool] = None) -> None:
+        """Reconfigure the pool (shuts down any existing one)."""
+        with cls._lock:
+            if cls._pool is not None:
+                cls._pool.shutdown(wait=True)
+                cls._pool = None
+            if cls._thread_pool is not None:
+                cls._thread_pool.shutdown(wait=True)
+                cls._thread_pool = None
+            if max_workers is not None:
+                cls.max_workers = max_workers
+            if use_processes is not None:
+                cls.use_processes = use_processes
+
+    @classmethod
+    def _executor(cls) -> Executor:
         if cls._pool is None:
             with cls._lock:
                 if cls._pool is None:
-                    cls._pool = ThreadPoolExecutor(
+                    if cls.use_processes:
+                        cls._pool = ProcessPoolExecutor(
+                            max_workers=cls.max_workers)
+                    else:
+                        cls._pool = ThreadPoolExecutor(
+                            max_workers=cls.max_workers,
+                            thread_name_prefix="lz4-worker")
+        return cls._pool
+
+    @classmethod
+    def _thread_executor(cls) -> ThreadPoolExecutor:
+        """Stream tasks always run on threads (closures aren't picklable)."""
+        if not cls.use_processes:
+            return cls._executor()  # type: ignore[return-value]
+        if cls._thread_pool is None:
+            with cls._lock:
+                if cls._thread_pool is None:
+                    cls._thread_pool = ThreadPoolExecutor(
                         max_workers=cls.max_workers,
                         thread_name_prefix="lz4-worker")
-        return cls._pool
+        return cls._thread_pool
 
     @classmethod
     def submit(cls, fn, *args, **kw) -> Future:
         next(cls._task_ids)  # monotonic correlation id (observability)
         return cls._executor().submit(fn, *args, **kw)
+
+    @classmethod
+    def _submit_thread(cls, fn, *args, **kw) -> Future:
+        next(cls._task_ids)
+        return cls._thread_executor().submit(fn, *args, **kw)
 
     # -- one-shot buffer tasks ----------------------------------------------
 
@@ -78,7 +126,7 @@ class LZ4Worker:
         def run() -> bytes:
             s = CompressStream(config, dictionary, backend)
             return b"".join(s.pipe(chunks))
-        return cls.submit(run)
+        return cls._submit_thread(run)
 
     @classmethod
     def decompress_stream(cls, chunks: Iterable, dictionary=None,
@@ -87,7 +135,7 @@ class LZ4Worker:
         def run() -> bytes:
             s = DecompressStream(dictionary, verify_checksum, backend)
             return b"".join(s.pipe(chunks))
-        return cls.submit(run)
+        return cls._submit_thread(run)
 
     # -- batch map (beyond-reference: frame-parallel fan-out) ---------------
 
@@ -106,3 +154,6 @@ class LZ4Worker:
             if cls._pool is not None:
                 cls._pool.shutdown(wait=True)
                 cls._pool = None
+            if cls._thread_pool is not None:
+                cls._thread_pool.shutdown(wait=True)
+                cls._thread_pool = None

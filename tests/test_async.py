@@ -123,3 +123,25 @@ def test_worker_map_compress_parallel(compressible):
     for frame, payload in zip(frames, payloads):
         np.testing.assert_array_equal(decompress_frame(np.array(frame)),
                                       payload)
+
+
+def test_worker_process_pool_roundtrip():
+    """Process-pool offload: real parallelism on any backend (the
+    structured-clone postMessage analog)."""
+    from divortio_lz4_tpu.worker import LZ4Worker
+
+    data = np.frombuffer(b"process pool payload " * 3000, np.uint8)
+    try:
+        LZ4Worker.configure(max_workers=2, use_processes=True)
+        futs = [LZ4Worker.compress(data) for _ in range(3)]
+        frames = [f.result(timeout=60) for f in futs]
+        for fr in frames:
+            np.testing.assert_array_equal(
+                LZ4Worker.decompress(np.array(fr)).result(timeout=60), data)
+        # stream tasks still work (routed to the thread side)
+        chunks = [data[i:i + 10000] for i in range(0, len(data), 10000)]
+        fr = LZ4Worker.compress_stream(chunks).result(timeout=60)
+        out = LZ4Worker.decompress_stream([fr]).result(timeout=60)
+        assert bytes(out) == bytes(data)
+    finally:
+        LZ4Worker.configure(use_processes=False)

@@ -12,13 +12,38 @@ import pytest
 from divortio_lz4_tpu import FrameConfig, compress_frame, decompress_frame
 from divortio_lz4_tpu.stream import LZ4Decoder
 
+# The complete rejection taxonomy (SURVEY §5.3): every fuzz-raised error
+# must carry one of these messages — proving typed rejection, not an
+# accidental crash that happens to be a ValueError.
+_TAXONOMY = (
+    "LZ4: Invalid Magic Number",
+    "LZ4: Unsupported Version",
+    "LZ4: Malformed Input",
+    "LZ4: Output Buffer Too Small",
+    "LZ4: Invalid Offset 0",
+    "LZ4: Dictionary Offset Out of Bounds",
+    "LZ4: Block Checksum Error",
+    "LZ4: Content Checksum Error",
+    "LZ4: Header Checksum Error",
+    "LZ4: Dictionary ID Mismatch",
+    "LZ4: Frame requires a Dictionary",
+)
+
+
+def _assert_taxonomy(exc: BaseException) -> None:
+    if isinstance(exc, IndexError):
+        return  # numpy bounds rejection on the python oracle tier
+    msg = str(exc)
+    assert any(msg.startswith(t) for t in _TAXONOMY), \
+        f"untyped fuzz error: {msg!r}"
+
 
 def _try_decode(frame_bytes, backend):
     try:
         decompress_frame(np.frombuffer(frame_bytes, np.uint8),
                          backend=backend)
-    except (ValueError, IndexError):
-        pass  # typed rejection is fine; crashes/hangs are not
+    except (ValueError, IndexError) as e:
+        _assert_taxonomy(e)  # typed rejection only; crashes/hangs are not
 
 
 @pytest.mark.parametrize("backend", ["python", "native"])
@@ -61,5 +86,84 @@ def test_streaming_fsm_mutation_fuzz(compressible, rng):
         try:
             for i in range(0, len(buf), 97):
                 dec.update(bytes(buf[i: i + 97]))
-        except (ValueError, IndexError):
-            pass
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
+
+
+# --- Device-tier fuzz (VERDICT r1 #10): hostile blocks through the XLA and
+# Pallas decode kernels must produce CLIPPED-BUT-BOUNDED output — indices
+# clamp, out_len stays within [0, out_cap], nothing crashes or hangs.
+
+def test_xla_decode_kernel_hostile_blocks(rng):
+    import jax.numpy as jnp
+
+    from divortio_lz4_tpu.constants import WINDOW_SIZE
+    from divortio_lz4_tpu.ops.decode_xla import decode_block
+
+    CAP = 2048
+    hist = jnp.zeros(WINDOW_SIZE, jnp.int32)
+    for trial in range(40):
+        m = int(rng.integers(1, 192))
+        comp = np.zeros(256, np.int32)
+        comp[:m] = rng.integers(0, 256, m)
+        out, out_len = decode_block(jnp.asarray(comp), jnp.int32(m), hist,
+                                    CAP)
+        ol = int(out_len)
+        assert 0 <= ol <= CAP
+        body = np.asarray(out)
+        assert ((body >= 0) & (body <= 255)).all()
+
+
+def test_pallas_decode_kernel_hostile_blocks(rng):
+    import jax.numpy as jnp
+
+    from divortio_lz4_tpu.ops.pallas_decode import decode_blocks_pallas
+
+    CAP = 2048
+    nb = 8
+    comp = np.zeros((nb, 1024), np.int32)
+    lens = np.zeros(nb, np.int32)
+    for i in range(nb):
+        m = int(rng.integers(1, 192))
+        comp[i, :m] = rng.integers(0, 256, m)
+        lens[i] = m
+    out, out_lens = decode_blocks_pallas(
+        jnp.asarray(comp), jnp.asarray(lens),
+        jnp.zeros((nb, 65536), jnp.int32), CAP, False, True)
+    body = np.asarray(out)
+    for i in range(nb):
+        ol = int(out_lens[i])
+        assert 0 <= ol <= CAP  # write cursor clamped to the block capacity
+        row = body[i, :ol]  # bytes beyond out_len are unspecified VMEM
+        assert ((row >= 0) & (row <= 255)).all()
+
+
+def test_device_frame_decode_mutation_fuzz(compressible, rng):
+    """Mutated frames through the DEVICE frame path: typed rejection or
+    data, never a crash (parse_block_index bounds + clamped kernels)."""
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    base = bytes(compress_frame(
+        compressible(3000),
+        config=FrameConfig(block_size=65536, block_independence=True)))
+    for _ in range(25):
+        buf = bytearray(base)
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            device_decompress_frame(np.frombuffer(bytes(buf), np.uint8))
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
+
+
+def test_device_frame_decode_truncation_fuzz(compressible):
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    base = bytes(compress_frame(
+        compressible(3000),
+        config=FrameConfig(block_size=65536, block_independence=True,
+                           content_checksum=True)))
+    for cut in range(0, len(base), 13):
+        try:
+            device_decompress_frame(np.frombuffer(base[:cut], np.uint8))
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
