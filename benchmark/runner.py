@@ -90,18 +90,26 @@ def _paths(block_size: int):
         return (lambda: device_compress_frame(data, cfg),
                 lambda: device_decompress_frame(frame), len(frame))
 
-    def gzip_path(data):
-        # Comparison target, mirroring the reference's vs-gzip table
-        # (docs/BENCHMARKS.md:21-22: divortio 1.9x faster compress, 0.8x
-        # decompress vs Node zlib).
-        import zlib
-        db = bytes(data)
-        frame = zlib.compress(db, 6)
-        return (lambda: zlib.compress(db, 6),
-                lambda: zlib.decompress(frame), len(frame))
+    paths = {"host": host, "stream": stream, "worker": worker,
+             "device": device}
 
-    return {"host": host, "stream": stream, "worker": worker,
-            "device": device, "gzip": gzip_path}
+    # Comparator adapters (the reference's libs tower, benchmark/src/libs/**):
+    # every codec the environment provides becomes a path — gzip/zstd/bz2/xz
+    # always here; python-lz4/snappy where installed.
+    from .libs import registry
+
+    def make_lib_path(adapter):
+        def lib_path(data):
+            db = bytes(data)
+            frame = adapter.compress(db)
+            return (lambda: adapter.compress(db),
+                    lambda: adapter.decompress(frame), len(frame))
+        return lib_path
+
+    for name, adapter in registry().items():
+        if name != "divortio-tpu":  # our own paths are the host/device rows
+            paths[name] = make_lib_path(adapter)
+    return paths
 
 
 def run_suite(sizes_mb, path_names, block_size=4 * 1024 * 1024):
