@@ -27,7 +27,18 @@ cases); wild chunk copies spill into slack and are overwritten, the
 reference's own double-copy idea (blockDecompress.js:77-110) at vector width.
 
 Bytes travel widened to int32 lanes. Valid-input contract as decode_xla
-(verify untrusted frames via checksums on host first).
+(verify untrusted frames via checksums on host first); hostile input is
+additionally write-bound clamped (see seq_body) so garbage can never leave
+the block's io region.
+
+SMEM stream variant (round 2, the 5x): every sequence-stream byte read
+(token, 0xFF-run lengths, offset) used to be a one-lane extract from a
+VMEM vector — a vreg->sreg transfer costing tens of cycles each, 6-8 per
+sequence, which dominated the 16 MB/s round-1 figure. The kernel now takes
+the compressed bytes TWICE: once in VMEM (vector literal copies) and once
+in SMEM (scalar parse loads) — the parse path becomes plain scalar memory
+reads while bulk data movement stays 128-lane. The double fetch costs one
+extra HBM read of the (compressed, small) stream.
 """
 
 from __future__ import annotations
@@ -54,23 +65,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
-                 out_base: int, out_cap: int):
+                 out_base: int, out_cap: int, smem_stream: bool):
     """Build the kernel for a (rows)-blocks-per-step layout.
 
     Refs (2D, lane dim 128):
       lens_ref: SMEM i32[nb] (scalar prefetch)
-      comp_ref: (rows*comp_nr, 128)
+      comp_ref: (rows*comp_nr, 128) VMEM (vector literal copies)
+      comp_s_ref: same bytes in SMEM (scalar parse loads) — smem_stream only
       hist_ref: (rows*hist_nr, 128) or None
       io_ref:   (rows*io_nr, 128)
       len_out:  (rows, 128)
     """
 
     def kernel(lens_ref, *refs):
-        if hist_nr:
-            comp_ref, hist_ref, io_ref = refs
-        else:
-            comp_ref, io_ref = refs
-            hist_ref = None
+        refs = list(refs)
+        comp_ref = refs.pop(0)
+        comp_s_ref = refs.pop(0) if smem_stream else None
+        hist_ref = refs.pop(0) if hist_nr else None
+        io_ref = refs.pop(0)
         g = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -97,6 +109,15 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
             s = q % LANES
             return pltpu.roll(rrow(ref, base_row, q), -s, axis=1)[0, 0]
 
+        if smem_stream:
+            # Sequence-stream byte read = one scalar SMEM load (the round-1
+            # version paid a vreg->sreg lane extract here, ~10x costlier).
+            def streambyte(base_row, q):
+                return comp_s_ref[base_row + q // LANES, q % LANES]
+        else:
+            def streambyte(base_row, q):
+                return readbyte(comp_ref, base_row, q)
+
         def decode_row(r):
             comp_base = r * comp_nr
             io_base = r * io_nr
@@ -116,7 +137,7 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
 
                 def body(st):
                     ln, p, _ = st
-                    v = readbyte(comp_ref, comp_base, p)
+                    v = streambyte(comp_base, p)
                     return ln + v, p + 1, v
 
                 ln, p, _ = jax.lax.while_loop(
@@ -132,7 +153,7 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
 
             def seq_body(st):
                 p, o = st
-                token = readbyte(comp_ref, comp_base, p)
+                token = streambyte(comp_base, p)
                 p = p + 1
 
                 lit_len, p = jax.lax.cond(
@@ -154,8 +175,8 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
 
                 def do_match(args):
                     p, o = args
-                    off_lo = readbyte(comp_ref, comp_base, p)
-                    off_hi = readbyte(comp_ref, comp_base, p + 1)
+                    off_lo = streambyte(comp_base, p)
+                    off_hi = streambyte(comp_base, p + 1)
                     offset = off_lo + (off_hi << 8)
                     p = p + 2
                     mlen, p = jax.lax.cond(
@@ -241,11 +262,19 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
     return kernel
 
 
+# Per-grid-step SMEM budget for the scalar parse copy of the compressed
+# stream (conservative; v5e SMEM is ~1 MB/core). Batches whose padded
+# compressed width exceeds it fall back to the vreg-extract parse path.
+SMEM_STREAM_BUDGET = 512 * 1024
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("block_size", "use_history", "interpret"))
+                   static_argnames=("block_size", "use_history", "interpret",
+                                    "smem_stream"))
 def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
                          block_size: int, use_history: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         smem_stream: bool | None = None):
     """Decode a batch of LZ4 blocks with the Pallas interpreter kernel.
 
     Args:
@@ -256,12 +285,16 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
         use_history — independent blocks skip the seeding copies and the
         extra VMEM residency).
       block_size: static output capacity per block.
+      smem_stream: route sequence parsing through a scalar SMEM copy of the
+        stream (None = auto by SMEM budget).
 
     Returns (out: i32[nb, block_size], out_len: i32[nb]).
     """
     nb, M = comp.shape
     assert M % 1024 == 0, M
     rows = 8 if not use_history else 4
+    if smem_stream is None:
+        smem_stream = rows * M * 4 <= SMEM_STREAM_BUDGET
     if nb % rows:
         pad = rows - nb % rows
         comp = jnp.concatenate([comp, jnp.zeros((pad, M), jnp.int32)])
@@ -275,10 +308,16 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     io_bytes = _round_up(out_base + block_size + SLACK, 1024)
     io_nr = io_bytes // LANES
 
+    comp_flat = comp.reshape(nbp * comp_nr, LANES)
     in_specs = [pl.BlockSpec((rows * comp_nr, LANES),
                              lambda g, lens: (g, 0),
                              memory_space=pltpu.VMEM)]
-    operands = [comp.reshape(nbp * comp_nr, LANES)]
+    operands = [comp_flat]
+    if smem_stream:
+        in_specs.append(pl.BlockSpec((rows * comp_nr, LANES),
+                                     lambda g, lens: (g, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(comp_flat)
     if use_history:
         in_specs.append(pl.BlockSpec((rows * hist_nr, LANES),
                                      lambda g, lens: (g, 0),
@@ -296,7 +335,8 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     )
 
     io, = pl.pallas_call(
-        _make_kernel(rows, comp_nr, io_nr, hist_nr, out_base, block_size),
+        _make_kernel(rows, comp_nr, io_nr, hist_nr, out_base, block_size,
+                     smem_stream),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nbp * io_nr, LANES), jnp.int32)],
         interpret=interpret,

@@ -63,8 +63,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(rows: int, src_nr: int, out_nr: int):
-    def kernel(lens_ref, words_ref, out_ref, table_ref):
+def _make_kernel(rows: int, src_nr: int, out_nr: int, smem_words: bool):
+    def kernel(lens_ref, *refs):
+        refs = list(refs)
+        words_ref = refs.pop(0)
+        words_s_ref = refs.pop(0) if smem_words else None
+        out_ref = refs.pop(0)
+        table_ref = refs.pop(0)
         g = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -96,17 +101,23 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
             d = ref[pl.ds(row, 1), :]
             ref[pl.ds(row, 1), :] = jnp.where(iota == s, val, d)
 
-        # hash table: entry h -> (row h//128, lane h%128)
+        # Hash table lives in SMEM: get/set are single scalar loads/stores
+        # (the round-1 VMEM tile paid a lane extract + masked row RMW per
+        # probe — the dominant per-position cost).
         def table_get(h):
-            s = h % LANES
-            return pltpu.roll(table_ref[pl.ds(h // LANES, 1), :],
-                              -s, axis=1)[0, 0]
+            return table_ref[h]
 
         def table_set(h, val):
-            s = h % LANES
-            row = h // LANES
-            d = table_ref[pl.ds(row, 1), :]
-            table_ref[pl.ds(row, 1), :] = jnp.where(iota == s, val, d)
+            table_ref[h] = val
+
+        if smem_words:
+            # Probe-path word read = scalar SMEM load instead of a
+            # vreg->sreg lane extract.
+            def streamword(base_row, q):
+                return words_s_ref[base_row + q // LANES, q % LANES]
+        else:
+            def streamword(base_row, q):
+                return readlane(words_ref, base_row, q)
 
         def encode_row(r):
             src_base = r * src_nr
@@ -115,11 +126,11 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
             mf_limit = src_len - MF_LIMIT
             match_limit = src_len - LAST_LITERALS
 
-            # clear the hash table
+            # clear the hash table (scalar SMEM stores)
             def clr(t, _):
-                table_ref[pl.ds(t, 1), :] = jnp.zeros((1, LANES), jnp.int32)
+                table_ref[t] = 0
                 return 0
-            jax.lax.fori_loop(0, HASH_MASK // LANES + 1, clr, 0)
+            jax.lax.fori_loop(0, HASH_MASK + 1, clr, 0)
 
             def ext_count(val):
                 """Encoded size of the 0xFF-run length extension for val."""
@@ -175,7 +186,7 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
             def seq_step(st):
                 s, anchor, d, search = st
 
-                seq = readlane(words_ref, src_base, s)
+                seq = streamword(src_base, s)
                 h = ((seq.astype(jnp.uint32) * jnp.uint32(HASH_MULTIPLIER))
                      >> HASH_SHIFT).astype(jnp.int32) & HASH_MASK
                 cand = table_get(h) - 1
@@ -183,8 +194,8 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
 
                 good = ((cand >= 0) & (s != cand)
                         & (s - cand < WINDOW_SIZE)
-                        & (readlane(words_ref, src_base,
-                                    jnp.maximum(cand, 0)) == seq))
+                        & (streamword(src_base, jnp.maximum(cand, 0))
+                           == seq))
 
                 # Match length: guarded read-only search (misses dominate).
                 mlen = jax.lax.cond(
@@ -251,6 +262,12 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int):
     return kernel
 
 
+# Per-grid-step SMEM budget for the scalar copy of the window words
+# (conservative; v5e SMEM is ~1 MB/core; the 64 KB hash table also lives
+# there).
+SMEM_WORDS_BUDGET = 512 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
 def encode_blocks_pallas(work: jax.Array, lens: jax.Array, block_size: int,
                          interpret: bool = False):
@@ -265,7 +282,18 @@ def encode_blocks_pallas(work: jax.Array, lens: jax.Array, block_size: int,
     """
     nb, B = work.shape
     assert B == block_size and B % 1024 == 0
+
+    # Rows per grid step: as many as keep the scalar-path words copy within
+    # the SMEM budget (the probe loop then runs on scalar loads); blocks too
+    # large even at rows=1 fall back to the vreg-extract path.
+    src_bytes = (B + SLACK) * 4
     rows = 8
+    while rows > 1 and rows * src_bytes > SMEM_WORDS_BUDGET:
+        rows //= 2
+    smem_words = rows * src_bytes <= SMEM_WORDS_BUDGET
+    if not smem_words:
+        rows = 8
+
     if nb % rows:
         pad = rows - nb % rows
         work = jnp.concatenate([work, jnp.zeros((pad, B), jnp.int32)])
@@ -285,25 +313,33 @@ def encode_blocks_pallas(work: jax.Array, lens: jax.Array, block_size: int,
     out_bytes = _round_up(block_bound(B) + SLACK + LANES, 1024)
     out_nr = out_bytes // LANES
 
+    w_flat = w.reshape(nbp * src_nr, LANES)
+    in_specs = [pl.BlockSpec((rows * src_nr, LANES),
+                             lambda g, lens: (g, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [w_flat]
+    if smem_words:
+        in_specs.append(pl.BlockSpec((rows * src_nr, LANES),
+                                     lambda g, lens: (g, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(w_flat)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nbp // rows,),
-        in_specs=[pl.BlockSpec((rows * src_nr, LANES),
-                               lambda g, lens: (g, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((rows * out_nr, LANES),
                                 lambda g, lens: (g, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((HASH_MASK // LANES + 1, LANES),
-                                   jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((HASH_MASK + 1,), jnp.int32)],
     )
 
     out, = pl.pallas_call(
-        _make_kernel(rows, src_nr, out_nr),
+        _make_kernel(rows, src_nr, out_nr, smem_words),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nbp * out_nr, LANES), jnp.int32)],
         interpret=interpret,
-    )(lens, w.reshape(nbp * src_nr, LANES))
+    )(lens, *operands)
 
     out = out.reshape(nbp, out_nr * LANES)
     out_len = out[:nb, (out_nr - 1) * LANES]

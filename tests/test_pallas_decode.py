@@ -96,3 +96,31 @@ def test_pallas_decode_batch(compressible, rng):
         assert int(out_lens[i]) == len(b)
         np.testing.assert_array_equal(
             np.asarray(out[i][: len(b)]).astype(np.uint8), b)
+
+
+def test_smem_stream_paths_identical(compressible):
+    """The SMEM scalar-parse path and the vreg-extract path must produce
+    identical output (same kernel semantics, different parse memory)."""
+    import jax.numpy as jnp
+
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.ops.pallas_decode import (
+        SLACK, _round_up, decode_blocks_pallas)
+
+    data = np.asarray(compressible(32768))
+    comp_b = np.asarray(lz4.compress_raw(data))
+    M = _round_up(len(comp_b) + SLACK, 1024)
+    comp = np.zeros((8, M), np.int32)
+    lens = np.zeros(8, np.int32)
+    for i in range(8):
+        comp[i, : len(comp_b)] = comp_b
+        lens[i] = len(comp_b)
+    hist = jnp.zeros((8, 65536), jnp.int32)
+    a = decode_blocks_pallas(jnp.asarray(comp), jnp.asarray(lens), hist,
+                             32768, False, True, smem_stream=True)
+    b = decode_blocks_pallas(jnp.asarray(comp), jnp.asarray(lens), hist,
+                             32768, False, True, smem_stream=False)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[0][0][:32768]).astype(np.uint8),
+                                  data)
