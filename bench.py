@@ -222,6 +222,13 @@ def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):
 
     Output is byte-identical to the reference encoder (verified per run on
     row 0); batched in 64-row chunks like the other device tiers.
+
+    NOTE: this tier is the BYTE-IDENTITY showcase, not a throughput path —
+    the greedy probe loop iterates per input position and the Mosaic scalar
+    core costs ~1-3 us per loop iteration (docs/DESIGN.md round-2
+    findings), so it runs at ~0.1-0.5 MB/s. It benches at a small block
+    shape (encode-kernel Mosaic compiles grow superlinearly with row width)
+    and LAST, so an abandoned compile can never stall the other tiers.
     """
     import jax
     import jax.numpy as jnp
@@ -360,19 +367,6 @@ def main():
         finally:
             signal.alarm(0)
         try:
-            signal.alarm(args.device_budget_s // 3)
-            eb, et, ecomp = bench_pallas_encode(
-                corpus[:dev_size], args.block, max(args.runs // 2, 1))
-            print(f"bench[device-pallas-encode/tpu]: {eb / 1e6:.0f}MB in "
-                  f"{et * 1e3:.0f} ms = {eb / et / 1e6:.1f} MB/s "
-                  f"({ecomp} B out, byte-identical to reference encoder)",
-                  file=sys.stderr)
-        except (_Timeout, Exception) as e:
-            print(f"bench: pallas encode tier skipped ({e!r})",
-                  file=sys.stderr)
-        finally:
-            signal.alarm(0)
-        try:
             signal.alarm(args.device_budget_s)
             dev_corpus = corpus[:dev_size]
             dev_ref_len = len(lz4.compress(dev_corpus, config=ref_cfg))
@@ -386,6 +380,21 @@ def main():
         except Exception as e:
             print(f"bench: device path failed ({e!r})", file=sys.stderr)
             dev_ok = False
+        finally:
+            signal.alarm(0)
+        # Byte-identity tier LAST (see bench_pallas_encode docstring).
+        try:
+            signal.alarm(args.device_budget_s // 3)
+            PE_BLOCK = 4096
+            eb, et, ecomp = bench_pallas_encode(
+                corpus[: 64 * PE_BLOCK], PE_BLOCK, max(args.runs // 2, 1))
+            print(f"bench[device-pallas-encode/tpu]: {eb / 1e6:.2f}MB "
+                  f"@{PE_BLOCK}B blocks in {et * 1e3:.0f} ms = "
+                  f"{eb / et / 1e6:.2f} MB/s ({ecomp} B out, byte-identical "
+                  "to the reference encoder)", file=sys.stderr)
+        except (_Timeout, Exception) as e:
+            print(f"bench: pallas encode tier skipped ({e!r})",
+                  file=sys.stderr)
         finally:
             signal.alarm(0)
 

@@ -56,7 +56,33 @@ def main(argv=None):
     import numpy as np
 
     from . import FrameConfig
-    from .stream import compress_file, decompress_file
+    from .stream import CompressStream, DecompressStream
+
+    def _stream_io(in_path, out_path, stream):
+        """Pipe in->out through a transform stream; '-' = stdin/stdout."""
+        fin = sys.stdin.buffer if in_path == "-" else open(in_path, "rb")
+        fout = sys.stdout.buffer if out_path == "-" else open(out_path, "wb")
+        total_in = total_out = 0
+        try:
+            while True:
+                chunk = fin.read(1 << 22)
+                if not chunk:
+                    break
+                total_in += len(chunk)
+                out = stream.write(chunk)
+                total_out += len(out)
+                fout.write(out)
+            tail = stream.flush()
+            total_out += len(tail)
+            fout.write(tail)
+        finally:
+            if in_path != "-":
+                fin.close()
+            if out_path != "-":
+                fout.close()
+            else:
+                fout.flush()
+        return total_in, total_out
 
     dictionary = None
     if args.dictionary:
@@ -65,7 +91,8 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     if args.cmd == "compress":
-        out_path = args.output or args.input + ".lz4"
+        out_path = args.output or (
+            "-" if args.input == "-" else args.input + ".lz4")
         cfg = FrameConfig(block_size=args.block_size,
                           block_independence=args.independent,
                           content_checksum=args.checksum,
@@ -80,16 +107,16 @@ def main(argv=None):
                 f.write(bytes(frame))
             in_size, out_size = len(data), len(frame)
         else:
-            import os
-            in_size = os.path.getsize(args.input)
-            out_size = compress_file(args.input, out_path, cfg, dictionary)
+            in_size, out_size = _stream_io(
+                args.input, out_path, CompressStream(cfg, dictionary))
         dt = time.perf_counter() - t0
         print(f"{args.input}: {in_size} -> {out_size} bytes "
               f"({in_size / max(out_size, 1):.2f}x) in {dt * 1e3:.1f} ms "
               f"({in_size / dt / 1e6:.0f} MB/s)", file=sys.stderr)
     else:
         out_path = args.output or (
-            args.input[:-4] if args.input.endswith(".lz4")
+            "-" if args.input == "-"
+            else args.input[:-4] if args.input.endswith(".lz4")
             else args.input + ".out")
         if args.device:
             from .parallel import device_decompress_frame
@@ -100,10 +127,9 @@ def main(argv=None):
                 f.write(bytes(plain))
             in_size, out_size = len(data), len(plain)
         else:
-            import os
-            in_size = os.path.getsize(args.input)
-            out_size = decompress_file(args.input, out_path, dictionary,
-                                       not args.no_verify)
+            in_size, out_size = _stream_io(
+                args.input, out_path,
+                DecompressStream(dictionary, not args.no_verify))
         dt = time.perf_counter() - t0
         print(f"{args.input}: {in_size} -> {out_size} bytes in "
               f"{dt * 1e3:.1f} ms ({out_size / dt / 1e6:.0f} MB/s)",
