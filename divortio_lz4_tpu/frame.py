@@ -35,7 +35,6 @@ from .constants import (
     MAGIC_NUMBER,
     UNCOMPRESSED_FLAG,
     WINDOW_SIZE,
-    block_bound,
 )
 from .ops.block_ref import new_hash_table
 from .utils import ensure_buffer, read_u32le, write_u32le

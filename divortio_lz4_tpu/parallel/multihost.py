@@ -58,8 +58,7 @@ def split_frames(buf: np.ndarray) -> list[tuple[int, int]]:
     skippable frames are skipped. The spans are the unit of cross-process
     decode partitioning.
     """
-    from ..constants import (FLG_CONTENT_CHECKSUM, SKIPPABLE_MAGIC_MAX,
-                             SKIPPABLE_MAGIC_MIN)
+    from ..constants import SKIPPABLE_MAGIC_MAX, SKIPPABLE_MAGIC_MIN
     from ..utils import read_u32le
     from .device import parse_block_index
 

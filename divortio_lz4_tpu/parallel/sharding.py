@@ -20,7 +20,6 @@ batch and the same psum rides DCN (see multihost.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -30,7 +29,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import FrameConfig
-from ..constants import WINDOW_SIZE, block_bound
 from ..ops.decode_xla import decode_block
 from ..ops.encode_xla import encode_block
 from .device import device_compress_frame, device_decompress_frame
