@@ -293,8 +293,16 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     nb, M = comp.shape
     assert M % 1024 == 0, M
     rows = 8 if not use_history else 4
+    # Fewer rows per grid step keep the SMEM parse copy within budget even
+    # for barely-compressible batches (M near the block bound); the grid
+    # pipeline amortizes the extra steps.
+    r = rows
+    while r > 1 and r * M * 4 > SMEM_STREAM_BUDGET:
+        r //= 2
     if smem_stream is None:
-        smem_stream = rows * M * 4 <= SMEM_STREAM_BUDGET
+        smem_stream = r * M * 4 <= SMEM_STREAM_BUDGET
+    if smem_stream:
+        rows = r
     if nb % rows:
         pad = rows - nb % rows
         comp = jnp.concatenate([comp, jnp.zeros((pad, M), jnp.int32)])
