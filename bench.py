@@ -196,7 +196,10 @@ def bench_pallas_decode(corpus: np.ndarray, block_size: int, runs: int):
     if nb == 0:
         raise ValueError("corpus has no compressible blocks")
     comps, plains = comps[:nb], plains[:nb]
-    M = _round_up(max(len(c) for c in comps) + SLACK, 1024)
+    # pow2 bucket keeps the compile cache warm across corpus sizes
+    M = 1024
+    while M < max(len(c) for c in comps) + SLACK:
+        M <<= 1
     comp = np.zeros((nb, M), np.int32)
     lens = np.zeros(nb, np.int32)
     for i, c in enumerate(comps):

@@ -461,7 +461,8 @@ def _decode_independent_pallas(buf, blocks, bs, window=None) -> np.ndarray:
             stored_rows[i] = buf[off: off + size]
         else:
             max_comp = max(max_comp, size)
-    M = _ru(max_comp + SLACK, 1024)
+    # pow2 bucket keeps the compile cache warm across frames
+    M = _bucket_pow2(_ru(max_comp + SLACK, 1024), 1024)
     comp = np.zeros((nb, M), np.int32)
     lens = np.zeros(nb, np.int32)
     for i, (off, size, stored) in enumerate(blocks):
