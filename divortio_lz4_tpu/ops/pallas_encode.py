@@ -286,7 +286,7 @@ def encode_blocks_pallas(work: jax.Array, lens: jax.Array, block_size: int,
     # Rows per grid step: as many as keep the scalar-path words copy within
     # the SMEM budget (the probe loop then runs on scalar loads); blocks too
     # large even at rows=1 fall back to the vreg-extract path.
-    src_bytes = (B + SLACK) * 4
+    src_bytes = _round_up(B + SLACK, 1024) * 4
     rows = 8
     while rows > 1 and rows * src_bytes > SMEM_WORDS_BUDGET:
         rows //= 2
@@ -306,8 +306,10 @@ def encode_blocks_pallas(work: jax.Array, lens: jax.Array, block_size: int,
          + (jnp.pad(work[:, 1:], ((0, 0), (0, 1))) << 8)
          + (jnp.pad(work[:, 2:], ((0, 0), (0, 2))) << 16)
          + (jnp.pad(work[:, 3:], ((0, 0), (0, 3))) << 24))
-    # SLACK pad so wild reads past the end stay in bounds.
-    w = jnp.pad(w, ((0, 0), (0, SLACK)))
+    # Pad so wild reads stay in bounds (>= SLACK) AND the per-step block's
+    # sublane count rows*src_nr stays divisible by 8 (Mosaic block rule)
+    # for every rows choice: width multiple of 1024 gives src_nr % 8 == 0.
+    w = jnp.pad(w, ((0, 0), (0, _round_up(B + SLACK, 1024) - B)))
 
     src_nr = w.shape[1] // LANES
     out_bytes = _round_up(block_bound(B) + SLACK + LANES, 1024)
