@@ -97,7 +97,8 @@ def device_compress_frame(data,
                           config: FrameConfig = DEFAULT_CONFIG,
                           use_fingerprints: Optional[bool] = None,
                           encode_batch=None,
-                          dictionary=None) -> np.ndarray:
+                          dictionary=None,
+                          engine: str = "xla") -> np.ndarray:
     """Compress *data* into an LZ4 frame with the block codec on device.
 
     Independent frames batch data-parallel (BASELINE configs 1/2/5); linked
@@ -108,6 +109,11 @@ def device_compress_frame(data,
     passes its shard_map-wrapped version). *dictionary* feeds every block's
     history window and stamps the frame's dictID
     (bufferCompress.js:109-125 semantics on the device tier).
+
+    engine: "xla" (sort-based kernel — smaller output than the reference)
+    or "pallas" (the compiled greedy-scan kernel — BYTE-IDENTICAL to the
+    reference encoder and ~8x the XLA kernel per chip). "pallas" applies to
+    independent frames without a dictionary; other shapes fall back to XLA.
     """
     if use_fingerprints is None:
         use_fingerprints = config.favor_ratio
@@ -119,6 +125,16 @@ def device_compress_frame(data,
     n = len(raw)
     bs = config.resolved_block_size
     work, lens, nblocks = _blocks_to_batch(raw, bs)
+
+    if (engine == "pallas" and encode_batch is None and dictionary is None):
+        import jax as _jax
+
+        from ..ops.pallas_encode import encode_blocks_pallas
+
+        def encode_batch(w, l, hl, hs):
+            assert hl == 0
+            return encode_blocks_pallas(
+                w, l, bs, _jax.default_backend() != "tpu")
 
     window, dict_id = _dict_window(dictionary)
     if window is not None:

@@ -146,3 +146,16 @@ def test_device_decode_pallas_engine(compressible, rng):
     frame = compress_frame(data, config=cfg)
     out = device_decompress_frame(np.array(frame), engine="pallas")
     np.testing.assert_array_equal(out, data)
+
+
+def test_device_encode_pallas_engine(compressible, rng):
+    # Pallas-engine frame encode (interpret on CPU): byte-identical to the
+    # host/reference encoder, incl. the stored fallback for random rows.
+    data = np.concatenate([np.asarray(compressible(100_000)),
+                           rng.integers(0, 256, 70_000, dtype=np.uint8)])
+    cfg = FrameConfig(block_size=65536, block_independence=True,
+                      content_size=False)
+    frame = device_compress_frame(data, cfg, engine="pallas")
+    host = compress_frame(data, config=cfg)
+    assert bytes(frame) == bytes(host)  # BYTE-IDENTICAL whole frame
+    np.testing.assert_array_equal(decompress_frame(np.array(frame)), data)
