@@ -39,6 +39,12 @@ the compressed bytes TWICE: once in VMEM (vector literal copies) and once
 in SMEM (scalar parse loads) — the parse path becomes plain scalar memory
 reads while bulk data movement stays 128-lane. The double fetch costs one
 extra HBM read of the (compressed, small) stream.
+
+The SMEM copy is PACKED 4 bytes per i32 word (scalar shift+mask on read):
+SMEM is ~1 MB/core and the pipeline double-buffers input windows, so the
+unpacked one-byte-per-word form blew the space at production comp widths
+(observed: 512 KB window x 2 buffering levels = OOM at M=32 KB, rows=4).
+Packing buys 4x, keeping 8 rows/step resident at any 64 KB-block width.
 """
 
 from __future__ import annotations
@@ -71,7 +77,8 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
     Refs (2D, lane dim 128):
       lens_ref: SMEM i32[nb] (scalar prefetch)
       comp_ref: (rows*comp_nr, 128) VMEM (vector literal copies)
-      comp_s_ref: same bytes in SMEM (scalar parse loads) — smem_stream only
+      comp_s_ref: same bytes PACKED 4-per-i32 in SMEM (scalar parse loads),
+        (rows*comp_nr//4, 128) — smem_stream only
       hist_ref: (rows*hist_nr, 128) or None
       io_ref:   (rows*io_nr, 128)
       len_out:  (rows, 128)
@@ -110,10 +117,14 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
             return pltpu.roll(rrow(ref, base_row, q), -s, axis=1)[0, 0]
 
         if smem_stream:
-            # Sequence-stream byte read = one scalar SMEM load (the round-1
-            # version paid a vreg->sreg lane extract here, ~10x costlier).
+            # Sequence-stream byte read = one scalar SMEM load plus a
+            # shift/mask unpack (the round-1 version paid a vreg->sreg lane
+            # extract here, ~10x costlier). base_row is the VMEM row base
+            # (r*comp_nr); the packed base is base_row//4 = r*pk_nr.
             def streambyte(base_row, q):
-                return comp_s_ref[base_row + q // LANES, q % LANES]
+                wd = comp_s_ref[base_row // 4 + q // (4 * LANES),
+                                (q // 4) % LANES]
+                return (wd >> ((q % 4) * 8)) & 0xFF
         else:
             def streambyte(base_row, q):
                 return readbyte(comp_ref, base_row, q)
@@ -263,9 +274,13 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
 
 
 # Per-grid-step SMEM budget for the scalar parse copy of the compressed
-# stream (conservative; v5e SMEM is ~1 MB/core). Batches whose padded
-# compressed width exceeds it fall back to the vreg-extract parse path.
-SMEM_STREAM_BUDGET = 512 * 1024
+# stream, in PACKED bytes (4 per i32 word). v5e SMEM is ~1 MB/core and the
+# grid pipeline double-buffers input windows, so the true footprint is 2x
+# this plus spill slots + the scalar-prefetch operand — 448 KB keeps the
+# total under the 1 MB ceiling with headroom (the unpacked round-2 form
+# OOMed at M=32 KB: 512 KB window x 2 levels). Batches whose packed width
+# exceeds it at rows=1 fall back to the vreg-extract parse path.
+SMEM_STREAM_BUDGET = 448 * 1024
 
 
 @functools.partial(jax.jit,
@@ -295,12 +310,12 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     rows = 8 if not use_history else 4
     # Fewer rows per grid step keep the SMEM parse copy within budget even
     # for barely-compressible batches (M near the block bound); the grid
-    # pipeline amortizes the extra steps.
+    # pipeline amortizes the extra steps. Footprint is in packed bytes.
     r = rows
-    while r > 1 and r * M * 4 > SMEM_STREAM_BUDGET:
+    while r > 1 and r * M > SMEM_STREAM_BUDGET:
         r //= 2
     if smem_stream is None:
-        smem_stream = r * M * 4 <= SMEM_STREAM_BUDGET
+        smem_stream = r * M <= SMEM_STREAM_BUDGET
     if smem_stream:
         rows = r
     if nb % rows:
@@ -322,10 +337,14 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
                              memory_space=pltpu.VMEM)]
     operands = [comp_flat]
     if smem_stream:
-        in_specs.append(pl.BlockSpec((rows * comp_nr, LANES),
+        # Packed 4-bytes-per-word SMEM copy of the stream (parse path).
+        c4 = comp.reshape(nbp, M // 4, 4)
+        comp_pk = (c4[..., 0] | (c4[..., 1] << 8) | (c4[..., 2] << 16)
+                   | (c4[..., 3] << 24))
+        in_specs.append(pl.BlockSpec((rows * comp_nr // 4, LANES),
                                      lambda g, lens: (g, 0),
                                      memory_space=pltpu.SMEM))
-        operands.append(comp_flat)
+        operands.append(comp_pk.reshape(nbp * comp_nr // 4, LANES))
     if use_history:
         in_specs.append(pl.BlockSpec((rows * hist_nr, LANES),
                                      lambda g, lens: (g, 0),
