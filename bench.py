@@ -233,6 +233,52 @@ def bench_pallas_decode(corpus: np.ndarray, block_size: int, runs: int):
     return nb * block_size, t
 
 
+def bench_hybrid_encode(corpus: np.ndarray, block_size: int, runs: int):
+    """Encode figure for the hybrid device encoder (XLA sort-based chain +
+    Pallas sequence walk) — the fastest device encode path. Output is
+    verified decode-compatible (host tier) and sized <= the reference
+    encoder per run."""
+    import jax
+    import jax.numpy as jnp
+
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.ops.hybrid_encode import encode_blocks_hybrid
+
+    n = len(corpus)
+    nb = (n // block_size // 8) * 8
+    if nb == 0:
+        raise ValueError("corpus too small for hybrid encode bench")
+    work = corpus[: nb * block_size].astype(np.int32).reshape(nb, block_size)
+    lens = np.full(nb, block_size, np.int32)
+    d_work = [jax.device_put(jnp.asarray(work[i: i + CHUNK_ROWS]))
+              for i in range(0, nb, CHUNK_ROWS)]
+    d_lens = [jax.device_put(jnp.asarray(lens[i: i + CHUNK_ROWS]))
+              for i in range(0, nb, CHUNK_ROWS)]
+
+    def enc():
+        res = [encode_blocks_hybrid(w, l, block_size, 0, 0, False)
+               for w, l in zip(d_work, d_lens)]
+        return res, sum(int(jnp.sum(ol)) for _, ol in res)
+
+    res, total = enc()
+    # correctness gate: block 0 decodes bit-exact on the host tier; total
+    # size must not exceed the reference-identical encoder's.
+    c0 = np.asarray(res[0][0][0][: int(np.asarray(res[0][1][0]))]) \
+        .astype(np.uint8)
+    out0 = np.empty(block_size, np.uint8)
+    assert lz4.decompress_raw(c0, out0) == block_size
+    assert np.array_equal(out0, work[0].astype(np.uint8))
+    ref_total = sum(
+        len(np.asarray(lz4.compress_raw(work[i].astype(np.uint8))))
+        for i in range(nb))
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _, total = enc()
+        ts.append(time.perf_counter() - t0)
+    return nb * block_size, float(np.median(ts)), total, ref_total
+
+
 def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):
     """Encode-only figure for the compiled Pallas greedy-scan kernel.
 
@@ -379,6 +425,20 @@ def main():
                   file=sys.stderr)
         except (_Timeout, Exception) as e:
             print(f"bench: pallas decode tier skipped ({e!r})",
+                  file=sys.stderr)
+        finally:
+            signal.alarm(0)
+        try:
+            signal.alarm(args.device_budget_s // 3)
+            hb, ht, hcomp, href = bench_hybrid_encode(
+                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+            print(f"bench[device-hybrid-encode/tpu]: {hb / 1e6:.0f}MB in "
+                  f"{ht * 1e3:.0f} ms = {hb / ht / 1e6:.1f} MB/s "
+                  f"({hcomp} B out, {hcomp / href:.4f}x vs reference "
+                  f"encoder {'OK' if hcomp <= href else 'REGRESSION'})",
+                  file=sys.stderr)
+        except (_Timeout, Exception) as e:
+            print(f"bench: hybrid encode tier skipped ({e!r})",
                   file=sys.stderr)
         finally:
             signal.alarm(0)

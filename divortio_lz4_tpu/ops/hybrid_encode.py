@@ -1,0 +1,407 @@
+"""Hybrid device LZ4 encode — XLA candidate search + Pallas sequence emitter.
+
+The two pure strategies both leave throughput on the table (measured,
+docs/DESIGN.md):
+
+- the all-XLA kernel (encode_xla.py) is fully data-parallel but pays
+  ~50-110 general gather/scatter passes at TPU's scalar gather rate
+  (~1.2 MB/s/chip at 64 KB blocks);
+- the all-Pallas kernel (pallas_encode.py) reproduces the reference's greedy
+  hash-table scan byte-for-byte but iterates the Mosaic scalar core once per
+  input POSITION (the probe loop), which bounds it regardless of how cheap
+  each probe is.
+
+This module splits the work by what each engine is good at:
+
+1. **XLA chain phase** (`build_chains`): exhaustive candidate search by
+   lexicographic sort — for every position, the nearest previous position
+   with an identical 4-byte window (same derivation as encode_xla.py step 2,
+   /root/reference/src/block/blockCompress.js:53-63's hash table made exact).
+   A reverse cummin over `(payload_pos << 16 | dist)` then packs, for every
+   position, the NEXT matchable position at-or-after it and that position's
+   match distance into one i32 — so the greedy walk below needs exactly one
+   scalar load per emitted sequence and the phase needs no per-position
+   gather at all (one sort + one scatter + one scan).
+
+2. **Pallas walk phase** (`encode_blocks_hybrid` kernel): the scalar core
+   hops anchor -> chain[anchor] -> anchor + match_len, once per SEQUENCE
+   (pallas_decode.py's amortization, ~15-60 bytes per iteration, not per
+   input byte), extending each match with 128-lane vector compares and
+   emitting literals/token/offset as lane-aligned vector writes — the exact
+   emission machinery pallas_encode.py compiles today.
+
+Output is decode-compatible LZ4 at a ratio <= the reference encoder's
+(exhaustive candidates + exact extension find strictly more redundancy than
+the reference's 16K hash table with skip stride); it is not byte-identical
+to either the reference or the XLA kernel (encode_xla's match-inheritance
+pass can pick longer matches at compacted positions). All decoder tiers and
+the golden-vector suite verify the streams.
+
+Greedy semantics match blockCompress.js: matches start below
+src_len - MF_LIMIT, end below src_len - LAST_LITERALS, minimum length 4,
+offsets < 64 KB; history rows ([dict window | payload], hist_len static)
+give dictionary and linked-mode frames for free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    LAST_LITERALS,
+    MF_LIMIT,
+    MIN_MATCH,
+    WINDOW_SIZE,
+    block_bound,
+)
+
+LANES = 128
+SLACK = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# --------------------------------------------------------------------------
+# Phase 1: XLA chain builder
+# --------------------------------------------------------------------------
+
+def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
+               hist_start: jax.Array) -> jax.Array:
+    """Packed greedy chain for one block row.
+
+    Args:
+      work: i32[N] bytes, N = hist_len + cap (payload zero-padded).
+      src_len: dynamic payload length.
+      hist_len: static history prefix (0 or WINDOW_SIZE).
+      hist_start: first valid history index (window may be left-padded).
+
+    Returns i32[cap]; entry at payload position a is
+    ``(m << 16) | dist`` where m is the first payload position >= a that has
+    a match (u16, payload-relative) and dist its offset — or m = 0xFFFF when
+    no matchable position remains (0xFFFF >= any mf_limit, so the walk's
+    ``m < mf_limit`` test terminates on it naturally).
+    """
+    N = work.shape[0]
+    cap = N - hist_len
+    idx = jnp.arange(N, dtype=jnp.int32)
+    s_end = hist_len + src_len
+    mf_limit = s_end - MF_LIMIT
+
+    b = work
+    w = (b + (jnp.concatenate([b[1:], jnp.zeros(1, b.dtype)]) << 8)
+         + (jnp.concatenate([b[2:], jnp.zeros(2, b.dtype)]) << 16)
+         + (jnp.concatenate([b[3:], jnp.zeros(3, b.dtype)]) << 24)
+         ).astype(jnp.uint32)
+    invalid = ((idx + MIN_MATCH > s_end) | (idx < hist_start)
+               ).astype(jnp.int32)
+
+    # Nearest previous identical word = sort predecessor (encode_xla step 2).
+    sbad, sw, si = jax.lax.sort((invalid, w, idx), num_keys=3)
+    same_as_prev = jnp.concatenate(
+        [jnp.zeros(1, bool),
+         (sw[1:] == sw[:-1]) & (sbad[1:] == 0) & (sbad[:-1] == 0)])
+    prev_in_sort = jnp.concatenate([jnp.zeros(1, jnp.int32), si[:-1]])
+    cand_sorted = jnp.where(same_as_prev, prev_in_sort, -1)
+    cand = jnp.zeros(N, jnp.int32).at[si].set(cand_sorted)
+
+    dist = idx - cand
+    valid = ((cand >= 0) & (dist < WINDOW_SIZE)
+             & (idx >= hist_len) & (idx < mf_limit))
+
+    # Payload-relative packing + reverse cummin: the minimum of
+    # (pos << 16 | dist) over positions >= a is held by the nearest valid
+    # position (pos dominates the high bits), carrying its dist along.
+    ip = jnp.arange(cap, dtype=jnp.uint32)
+    packed = jnp.where(valid[hist_len:],
+                       (ip << 16) | dist[hist_len:].astype(jnp.uint32),
+                       jnp.uint32(0xFFFFFFFF))
+    chain = jax.lax.cummin(packed, axis=0, reverse=True)
+    return chain.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("hist_len",))
+def build_chains(work: jax.Array, lens: jax.Array, hist_len: int,
+                 hist_start: jax.Array) -> jax.Array:
+    """Vmapped chain builder: i32[nb, N] work -> i32[nb, cap] chains."""
+    hs = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32),
+                          (work.shape[0],))
+    return jax.vmap(_chain_row, in_axes=(0, 0, None, 0))(
+        work, lens, hist_len, hs)
+
+
+# --------------------------------------------------------------------------
+# Phase 2: Pallas sequence walk + emission
+# --------------------------------------------------------------------------
+
+def _make_kernel(rows: int, src_nr: int, out_nr: int, chain_nr: int,
+                 hist_len: int):
+    """Kernel refs:
+      lens_ref:  SMEM i32[nb] (scalar prefetch)
+      words_ref: VMEM (rows*src_nr, 128) — LE32 window words incl. history
+      chain_ref: SMEM (rows*chain_nr, 128) — packed (m<<16|dist) per
+                 payload position
+      out_ref:   VMEM (rows*out_nr, 128)
+    """
+
+    def kernel(lens_ref, words_ref, chain_ref, out_ref):
+        g = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def rrow(ref, base_row, q):
+            return ref[pl.ds(base_row + q // LANES, 1), :]
+
+        def read128(ref, base_row, q):
+            s = q % LANES
+            r0 = pltpu.roll(rrow(ref, base_row, q), -s, axis=1)
+            r1 = pltpu.roll(rrow(ref, base_row, q + LANES), -s, axis=1)
+            return jnp.where(iota < LANES - s, r0, r1)
+
+        def write128(ref, base_row, q, v):
+            s = q % LANES
+            rolled = pltpu.roll(v, s, axis=1)
+            row = base_row + q // LANES
+            d0 = ref[pl.ds(row, 1), :]
+            d1 = ref[pl.ds(row + 1, 1), :]
+            ref[pl.ds(row, 1), :] = jnp.where(iota >= s, rolled, d0)
+            ref[pl.ds(row + 1, 1), :] = jnp.where(iota < s, rolled, d1)
+
+        def writebyte(ref, base_row, q, val):
+            s = q % LANES
+            row = base_row + q // LANES
+            d = ref[pl.ds(row, 1), :]
+            ref[pl.ds(row, 1), :] = jnp.where(iota == s, val, d)
+
+        def encode_row(r):
+            src_base = r * src_nr
+            out_base = r * out_nr
+            chain_base = r * chain_nr
+            src_len = lens_ref[g * rows + r]
+            mf_limit = src_len - MF_LIMIT          # payload-relative
+            match_limit = src_len - LAST_LITERALS
+
+            def getchain(a):
+                v = chain_ref[chain_base + a // LANES, a % LANES]
+                return (v >> 16) & 0xFFFF, v & 0xFFFF
+
+            def ext_count(val):
+                return jnp.where(val >= 15,
+                                 1 + jnp.maximum(val - 15, 0) // 255, 0)
+
+            def emit_ext(d, val):
+                """0xFF-run length extension at d (no-op when val < 15);
+                wild tails are rewritten by the following fields."""
+                rem = jnp.maximum(val - 15, 0)
+                k = rem // 255
+                last = rem % 255
+                nb = ext_count(val)
+
+                def chunk(i, _):
+                    jj = i * LANES + iota
+                    v = jnp.where(jj < k, jnp.int32(255),
+                                  jnp.full((1, LANES), last, jnp.int32))
+                    write128(out_ref, out_base, d + i * LANES, v)
+                    return 0
+                jax.lax.fori_loop(0, (nb + LANES - 1) // LANES, chunk, 0)
+
+            def copy_literals(dst, src, n):
+                """src is payload-relative; history sits below it."""
+                def body(k, _):
+                    write128(out_ref, out_base, dst + k * LANES,
+                             read128(words_ref, src_base,
+                                     hist_len + src + k * LANES) & 0xFF)
+                    return 0
+                jax.lax.fori_loop(0, (n + LANES - 1) // LANES, body, 0)
+
+            def extend(m, dist):
+                """Match length at payload position m, offset dist. The
+                first MIN_MATCH bytes are equal by construction (identical
+                sort words); extension compares 128-byte chunks."""
+                def cond(st):
+                    k, done = st
+                    return jnp.logical_not(done)
+
+                def body(st):
+                    k, _ = st
+                    q = hist_len + m + MIN_MATCH + k
+                    a = read128(words_ref, src_base, q) & 0xFF
+                    b = read128(words_ref, src_base, q - dist) & 0xFF
+                    pos = m + MIN_MATCH + k + iota
+                    neq = (a != b) | (pos >= match_limit)
+                    mm = jnp.min(jnp.where(neq, iota, LANES))
+                    return k + mm, mm < LANES
+
+                k, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+                return MIN_MATCH + k
+
+            def seq_step(st):
+                anchor, d, m, dist = st
+                mlen = extend(m, dist)
+
+                lit_len = m - anchor
+                mcode = mlen - MIN_MATCH
+                d_tok = d
+                d_litx = d + 1
+                d_lits = d_litx + ext_count(lit_len)
+                d_off = d_lits + lit_len
+                d_mx = d_off + 2
+                d_next = d_mx + ext_count(mcode)
+
+                emit_ext(d_litx, lit_len)
+                copy_literals(d_lits, anchor, lit_len)
+                writebyte(out_ref, out_base, d_tok,
+                          (jnp.minimum(lit_len, 15) << 4)
+                          | jnp.minimum(mcode, 15))
+                # Offset as one wild vector write (lane 0 = lo, rest = hi;
+                # lanes past +2 are rewritten by the following fields).
+                write128(out_ref, out_base, d_off,
+                         jnp.where(iota == 0, dist & 0xFF,
+                                   jnp.full((1, LANES), (dist >> 8) & 0xFF,
+                                            jnp.int32)))
+                emit_ext(d_mx, mcode)
+
+                nanchor = m + mlen
+                nm, ndist = getchain(nanchor)
+                return nanchor, d_next, nm, ndist
+
+            m0, dist0 = getchain(0)
+            anchor, d, _, _ = jax.lax.while_loop(
+                lambda st: st[2] < mf_limit, seq_step,
+                (jnp.int32(0), jnp.int32(0), m0, dist0))
+
+            # trailing literal run
+            lit_len = src_len - anchor
+            token_pos = d
+            d_lits = d + 1 + ext_count(lit_len)
+            emit_ext(d + 1, lit_len)
+            copy_literals(d_lits, anchor, lit_len)
+            writebyte(out_ref, out_base, token_pos,
+                      jnp.minimum(lit_len, 15) << 4)
+            d = jnp.where(src_len > 0, d_lits + lit_len, 0)
+
+            out_ref[pl.ds(out_base + out_nr - 1, 1), :] = jnp.full(
+                (1, LANES), d, jnp.int32)
+
+        def row_loop(r, _):
+            encode_row(r)
+            return 0
+
+        jax.lax.fori_loop(0, rows, row_loop, 0)
+
+    return kernel
+
+
+# Per-grid-step SMEM budget for the chain operand, in bytes. The pipeline
+# double-buffers input windows, so the true footprint is 2x this; 448 KB
+# keeps the total under v5e's ~1 MB/core ceiling (same sizing as
+# pallas_decode.SMEM_STREAM_BUDGET, validated against its observed OOM).
+SMEM_CHAIN_BUDGET = 448 * 1024
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "hist_len", "interpret"))
+def encode_blocks_hybrid(work: jax.Array, lens: jax.Array, block_size: int,
+                         hist_len: int = 0, hist_start=0,
+                         interpret: bool = False):
+    """Encode a batch of LZ4 blocks (sort-exact candidates, Pallas walk).
+
+    Args:
+      work: i32[nb, hist_len + block_size] bytes ([history | payload] rows,
+        zero-padded payload tails).
+      lens: i32[nb] payload sizes.
+      block_size: static payload capacity; % 1024 == 0, <= 64 KB (the
+        packed chain must fit SMEM; larger blocks use encode_xla).
+      hist_len: static history prefix width (0 or WINDOW_SIZE).
+      hist_start: first valid history index per batch (scalar or i32[nb]).
+
+    Returns (out: i32[nb, out_width], out_len: i32[nb]).
+    """
+    nb, NW = work.shape
+    B = block_size
+    assert NW == hist_len + B and B % 1024 == 0
+    assert B * 4 <= SMEM_CHAIN_BUDGET, "block too large for the SMEM chain"
+
+    rows = 8
+    while rows > 1 and rows * B * 4 > SMEM_CHAIN_BUDGET:
+        rows //= 2
+    hist_start = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32), (nb,))
+    if nb % rows:
+        pad = rows - nb % rows
+        work = jnp.concatenate([work, jnp.zeros((pad, NW), jnp.int32)])
+        lens = jnp.concatenate([lens, jnp.zeros(pad, jnp.int32)])
+        hist_start = jnp.concatenate([hist_start,
+                                      jnp.zeros(pad, jnp.int32)])
+    nbp = work.shape[0]
+
+    chains = build_chains(work, lens, hist_len, hist_start)
+
+    # LE32 window words (the kernel recovers bytes as word & 0xFF), padded
+    # so wild 128-byte reads stay in bounds and sublane counts stay
+    # divisible by 8 at every rows choice.
+    w = (work
+         + (jnp.pad(work[:, 1:], ((0, 0), (0, 1))) << 8)
+         + (jnp.pad(work[:, 2:], ((0, 0), (0, 2))) << 16)
+         + (jnp.pad(work[:, 3:], ((0, 0), (0, 3))) << 24))
+    w = jnp.pad(w, ((0, 0), (0, _round_up(NW + SLACK, 1024) - NW)))
+
+    src_nr = w.shape[1] // LANES
+    chain_nr = B // LANES
+    out_bytes = _round_up(block_bound(B) + SLACK + LANES, 1024)
+    out_nr = out_bytes // LANES
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbp // rows,),
+        in_specs=[
+            pl.BlockSpec((rows * src_nr, LANES), lambda g, lens: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows * chain_nr, LANES), lambda g, lens: (g, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((rows * out_nr, LANES),
+                                lambda g, lens: (g, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+
+    out, = pl.pallas_call(
+        _make_kernel(rows, src_nr, out_nr, chain_nr, hist_len),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nbp * out_nr, LANES), jnp.int32)],
+        interpret=interpret,
+    )(lens, w.reshape(nbp * src_nr, LANES),
+      chains.reshape(nbp * chain_nr, LANES))
+
+    out = out.reshape(nbp, out_nr * LANES)
+    out_len = out[:nb, (out_nr - 1) * LANES]
+    return out[:nb], out_len
+
+
+def encode_block_hybrid_host(data: np.ndarray,
+                             history: np.ndarray | None = None,
+                             block_size: int | None = None,
+                             interpret: bool | None = None) -> np.ndarray:
+    """Host convenience wrapper for tests: bytes in -> LZ4 block bytes out."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = len(data)
+    B = _round_up(max(n, 1024), 1024) if block_size is None else block_size
+    use_hist = history is not None and len(history) > 0
+    hist_len = WINDOW_SIZE if use_hist else 0
+    hist_start = 0
+    work = np.zeros((1, hist_len + B), np.int32)
+    if use_hist:
+        h = np.asarray(history, dtype=np.uint8)[-WINDOW_SIZE:]
+        hist_start = WINDOW_SIZE - len(h)
+        work[0, hist_start:hist_len] = h
+    work[0, hist_len: hist_len + n] = data
+    out, out_len = encode_blocks_hybrid(
+        jnp.asarray(work), jnp.asarray(np.array([n], np.int32)), B,
+        hist_len, jnp.int32(hist_start), interpret)
+    return np.asarray(out[0][: int(out_len[0])]).astype(np.uint8)

@@ -110,13 +110,27 @@ def device_compress_frame(data,
     history window and stamps the frame's dictID
     (bufferCompress.js:109-125 semantics on the device tier).
 
-    engine: "xla" (sort-based kernel — smaller output than the reference)
-    or "pallas" (the compiled greedy-scan kernel — BYTE-IDENTICAL to the
-    reference encoder and ~8x the XLA kernel per chip). "pallas" applies to
-    independent frames without a dictionary; other shapes fall back to XLA.
+    engine: "xla" (sort-based data-parallel kernel), "hybrid" (sort-based
+    candidates + Pallas sequence walk — the fastest device encoder, ~18x
+    the XLA kernel per chip, ratio still < reference), or "pallas" (the
+    compiled greedy-scan kernel — BYTE-IDENTICAL to the reference encoder).
+    "pallas" applies to independent frames without a dictionary; "hybrid"
+    covers dictionaries and linked frames too, but needs block_size <=
+    64 KB (the packed chain must fit SMEM). Unsupported shapes fall back
+    to XLA.
     """
     if use_fingerprints is None:
         use_fingerprints = config.favor_ratio
+    if engine == "hybrid" and encode_batch is None:
+        import jax as _jax
+
+        from ..ops.hybrid_encode import SMEM_CHAIN_BUDGET, \
+            encode_blocks_hybrid
+        _bs = config.resolved_block_size
+        if _bs * 4 <= SMEM_CHAIN_BUDGET:  # else fall back to XLA
+            def encode_batch(w, l, hl, hs):
+                return encode_blocks_hybrid(
+                    w, l, _bs, hl, hs, _jax.default_backend() != "tpu")
     if not config.block_independence:
         return _compress_linked(data, config, use_fingerprints, dictionary,
                                 encode_batch)
