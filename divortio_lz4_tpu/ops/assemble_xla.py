@@ -44,6 +44,7 @@ def assemble_blocks(outs: jax.Array, out_lens: jax.Array, work: jax.Array,
     """
     nb, W = outs.shape
     BS = work.shape[1]
+    work = work.astype(jnp.int32)  # uint8 OK: widening runs on device
 
     stored = (out_lens <= 0) | (out_lens >= lens)
     data_len = jnp.where(lens > 0, jnp.where(stored, lens, out_lens), 0)

@@ -74,6 +74,8 @@ def decode_block(comp: jax.Array, comp_len: jax.Array, hist: jax.Array,
       (out, out_len): int32[out_cap] decoded bytes and the scalar count.
     """
     M = comp.shape[0]
+    comp = comp.astype(jnp.int32)  # uint8 OK: widening runs on device
+    hist = hist.astype(jnp.int32)
     B = out_cap
     idx = jnp.arange(M, dtype=jnp.int32)
 

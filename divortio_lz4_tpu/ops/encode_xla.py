@@ -106,6 +106,7 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
       the scalar byte count.
     """
     N = work.shape[0]
+    work = work.astype(jnp.int32)  # uint8 rows OK: widening runs on device
     cap = N - hist_len          # static payload capacity
     W_OUT = block_bound(cap)    # static output bound
     idx = jnp.arange(N, dtype=jnp.int32)

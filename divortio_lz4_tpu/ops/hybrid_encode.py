@@ -327,6 +327,10 @@ def encode_blocks_hybrid(work: jax.Array, lens: jax.Array, block_size: int,
     B = block_size
     assert NW == hist_len + B and B % 1024 == 0
     assert B * 4 <= SMEM_CHAIN_BUDGET, "block too large for the SMEM chain"
+    # Accept uint8 rows: the widening to i32 lanes runs ON DEVICE, so the
+    # host->device transfer ships 1 byte/byte (the tunnel/PCIe link is the
+    # production path's bottleneck, measured in docs/BENCHMARKS.md).
+    work = work.astype(jnp.int32)
 
     rows = 8
     while rows > 1 and rows * B * 4 > SMEM_CHAIN_BUDGET:

@@ -49,6 +49,9 @@ def encode_linked_scan(blocks: jax.Array, lens: jax.Array,
     Returns:
       (outs: i32[nb, block_bound(block_size)], out_lens: i32[nb]).
     """
+    blocks = blocks.astype(jnp.int32)  # uint8 OK: widening on device
+    init_window = init_window.astype(jnp.int32)
+
     def step(carry, inp):
         window, filled = carry
         row, blen = inp
@@ -76,6 +79,8 @@ def decode_linked_scan(comp: jax.Array, lens: jax.Array, stored: jax.Array,
     (stored[i] nonzero). Returns (outs i32[nb, block_size], out_lens).
     """
     M = comp.shape[1]
+    comp = comp.astype(jnp.int32)  # uint8 OK: widening on device
+    init_window = init_window.astype(jnp.int32)
 
     def step(carry, inp):
         window, filled = carry

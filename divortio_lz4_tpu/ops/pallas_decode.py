@@ -307,6 +307,10 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     """
     nb, M = comp.shape
     assert M % 1024 == 0, M
+    # Accept uint8 rows: widening to i32 lanes runs on device (transfers
+    # ship 1 byte/byte — the host link is the frame path's bottleneck).
+    comp = comp.astype(jnp.int32)
+    hist = hist.astype(jnp.int32)
     rows = 8 if not use_history else 4
     # Fewer rows per grid step keep the SMEM parse copy within budget even
     # for barely-compressible batches (M near the block bound); the grid

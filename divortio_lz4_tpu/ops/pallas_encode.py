@@ -282,6 +282,7 @@ def encode_blocks_pallas(work: jax.Array, lens: jax.Array, block_size: int,
     """
     nb, B = work.shape
     assert B == block_size and B % 1024 == 0
+    work = work.astype(jnp.int32)  # uint8 OK: widening runs on device
 
     # Rows per grid step: as many as keep the scalar-path words copy within
     # the SMEM budget (the probe loop then runs on scalar loads); blocks too

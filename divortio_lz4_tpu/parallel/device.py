@@ -13,6 +13,7 @@ serial across blocks), and encoded with a device loop over blocks.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Optional
 
 import jax
@@ -42,7 +43,9 @@ from ..ops.encode_xla import encode_blocks_batch
 def _blocks_to_batch(raw: np.ndarray, block_size: int):
     n = len(raw)
     nblocks = max(1, -(-n // block_size))
-    work = np.zeros((nblocks, block_size), dtype=np.int32)
+    # uint8 rows: device transfers ship 1 byte/byte; kernels widen to i32
+    # lanes on device (the host link is the offload path's bottleneck).
+    work = np.zeros((nblocks, block_size), dtype=np.uint8)
     lens = np.zeros(nblocks, dtype=np.int32)
     for i in range(nblocks):
         chunk = raw[i * block_size: (i + 1) * block_size]
@@ -98,7 +101,8 @@ def device_compress_frame(data,
                           use_fingerprints: Optional[bool] = None,
                           encode_batch=None,
                           dictionary=None,
-                          engine: str = "xla") -> np.ndarray:
+                          engine: str = "xla",
+                          assemble: str = "host") -> np.ndarray:
     """Compress *data* into an LZ4 frame with the block codec on device.
 
     Independent frames batch data-parallel (BASELINE configs 1/2/5); linked
@@ -133,7 +137,7 @@ def device_compress_frame(data,
                     w, l, _bs, hl, hs, _jax.default_backend() != "tpu")
     if not config.block_independence:
         return _compress_linked(data, config, use_fingerprints, dictionary,
-                                encode_batch)
+                                encode_batch, assemble)
 
     raw = ensure_buffer(data)
     n = len(raw)
@@ -156,7 +160,7 @@ def device_compress_frame(data,
         # [64 KB window (right-aligned) | payload], hist_len = WINDOW_SIZE.
         hist_len = WINDOW_SIZE
         hist_start = WINDOW_SIZE - len(window)
-        hist_block = np.zeros((nblocks, WINDOW_SIZE), np.int32)
+        hist_block = np.zeros((nblocks, WINDOW_SIZE), np.uint8)
         hist_block[:, hist_start:] = window
         work = np.concatenate([hist_block, work], axis=1)
     else:
@@ -168,20 +172,24 @@ def device_compress_frame(data,
             hs_rows = jnp.broadcast_to(
                 jnp.asarray(hs, jnp.int32), (w.shape[0],))
             return encode_blocks_batch(w, l, hl, use_fingerprints, hs_rows)
-    d_work = jnp.asarray(work)
-    outs, out_lens = encode_batch(d_work, jnp.asarray(lens), hist_len,
-                                  hist_start)
-    d_payload = d_work[:, hist_len:] if hist_len else d_work
 
-    if not config.block_checksums and n > 0:
-        # Fast path: stitch size words + payloads (incl. stored fallback and
-        # EndMark) on device; only the tiny header is host work.
+    if not config.block_checksums and n > 0 and assemble == "device":
+        # Device assembly: stitch size words + payloads (incl. stored
+        # fallback and EndMark) on device. Keeps the frame device-resident
+        # for downstream device consumers; for a host-bound result the
+        # default host assembly below is faster on this link (one bulk u8
+        # fetch beats the extra device passes + sliced fetch — measured,
+        # docs/DESIGN.md round-2 notes).
         from ..ops.assemble_xla import assemble_blocks
+        d_work = jnp.asarray(work)
+        outs, out_lens = encode_batch(d_work, jnp.asarray(lens), hist_len,
+                                      hist_start)
+        d_payload = d_work[:, hist_len:] if hist_len else d_work
         cap = nblocks * (4 + bs) + 4
         body, body_total = assemble_blocks(
             jnp.asarray(outs), jnp.asarray(out_lens), d_payload,
             jnp.asarray(lens), cap)
-        body_np = np.asarray(body[: int(body_total)]).astype(np.uint8)
+        body_np = np.asarray(body[: int(body_total)].astype(jnp.uint8))
         header = _frame_header_bytes(config, n, dict_id)
         parts = [header, body_np]
         if config.content_checksum:
@@ -190,10 +198,55 @@ def device_compress_frame(data,
             parts.append(ck)
         return np.concatenate(parts)
 
-    outs = np.asarray(outs)
-    out_lens = np.asarray(out_lens)
+    outs, out_lens = _chunked_encode(work, lens, encode_batch, hist_len,
+                                     hist_start)
+    return _host_assemble(raw, outs, out_lens, lens, nblocks, bs, config,
+                          dict_id)
 
-    # --- host frame assembly ---
+
+# Device-dispatch granularity for the frame paths: fixed-shape chunks keep
+# the compile cache to a handful of shapes across all corpus sizes, and
+# queueing chunk k+1's host->device transfer while chunk k computes overlaps
+# the host link with the kernel (measured win, docs/DESIGN.md round-2).
+# Decode chunks are larger: its host->device leg is small (compressed
+# bytes), so overlap buys little and per-dispatch latency dominates.
+_FRAME_CHUNK_ROWS = 32
+_FRAME_CHUNK_ROWS_DEC = 64
+
+
+def _chunk_rows_bucket(rows: int) -> int:
+    return -(-rows // 8) * 8
+
+
+def _chunked_encode(work: np.ndarray, lens: np.ndarray, encode_batch,
+                    hist_len: int, hist_start):
+    """Run encode_batch over fixed-shape row chunks, async-queued; returns
+    (outs u8[nb, W], out_lens i32[nb]) fetched in order."""
+    nb = work.shape[0]
+    CH = _FRAME_CHUNK_ROWS
+    parts = []
+    for i in range(0, nb, CH):
+        w = work[i: i + CH]
+        l = lens[i: i + CH]
+        rows = w.shape[0]
+        target = CH if nb > CH else _chunk_rows_bucket(rows)
+        if rows < target:
+            w = np.concatenate(
+                [w, np.zeros((target - rows, w.shape[1]), w.dtype)])
+            l = np.concatenate([l, np.zeros(target - rows, np.int32)])
+        o, ol = encode_batch(jnp.asarray(w), jnp.asarray(l), hist_len,
+                             hist_start)
+        parts.append((jnp.asarray(o).astype(jnp.uint8), ol, rows))
+    outs = np.concatenate([np.asarray(o)[:r] for o, _, r in parts])
+    out_lens = np.concatenate([np.asarray(ol)[:r] for _, ol, r in parts])
+    return outs, out_lens
+
+
+def _host_assemble(raw, outs, out_lens, lens, nblocks, bs,
+                   config: FrameConfig, dict_id) -> np.ndarray:
+    """Stitch the frame on host from (already fetched, u8) kernel outputs:
+    header, per-block size words, stored fallback, EndMark, checksums."""
+    n = len(raw)
     frame = np.empty(19 + n + (n // 255) + (16 + 8) * nblocks + 8,
                      dtype=np.uint8)
     header = _frame_header_bytes(config, n, dict_id)
@@ -365,7 +418,7 @@ def _decode_independent(buf, blocks, bs, decode_batch=None,
     max_comp = max((size for _, size, stored in blocks if not stored),
                    default=1)
     m_cap = min(_bucket_pow2(max_comp), block_bound(bs))
-    comp = np.zeros((nb, m_cap), dtype=np.int32)
+    comp = np.zeros((nb, m_cap), dtype=np.uint8)
     lens = np.zeros(nb, dtype=np.int32)
     stored_rows = {}
     for i, (off, size, stored) in enumerate(blocks):
@@ -374,30 +427,34 @@ def _decode_independent(buf, blocks, bs, decode_batch=None,
         else:
             comp[i, :size] = buf[off: off + size]
             lens[i] = size
-    hist = np.zeros((nb, WINDOW_SIZE), dtype=np.int32)
     if window is not None:
+        hist = np.zeros((nb, WINDOW_SIZE), dtype=np.uint8)
         hist[:, WINDOW_SIZE - len(window):] = window  # right-aligned
+        d_hist = jnp.asarray(hist)
+    else:
+        # all-zero history: materialized on device, never transferred
+        d_hist = jnp.zeros((nb, WINDOW_SIZE), jnp.uint8)
     if decode_batch is None:
         def decode_batch(c, l, h):
             return decode_blocks_batch(c, l, h, bs)
     outs, out_lens = decode_batch(jnp.asarray(comp), jnp.asarray(lens),
-                                  jnp.asarray(hist))
+                                  d_hist)
 
     if not stored_rows:
         # Fast path: drop row padding on device, one contiguous result.
         from ..ops.assemble_xla import concat_blocks
         flat, total = concat_blocks(jnp.asarray(outs), jnp.asarray(out_lens),
                                     nb * bs)
-        return np.asarray(flat[: int(total)]).astype(np.uint8)
+        return np.asarray(flat[: int(total)].astype(jnp.uint8))
 
-    outs = np.asarray(outs)
+    outs = np.asarray(jnp.asarray(outs).astype(jnp.uint8))
     out_lens = np.asarray(out_lens)
     parts = []
     for i in range(nb):
         if i in stored_rows:
             parts.append(stored_rows[i])
         else:
-            parts.append(outs[i, : int(out_lens[i])].astype(np.uint8))
+            parts.append(outs[i, : int(out_lens[i])])
     return np.concatenate(parts) if parts else np.empty(0, np.uint8)
 
 
@@ -410,7 +467,8 @@ def _rows_bucket(nb: int) -> int:
 
 def _compress_linked(data, config: FrameConfig,
                      use_fingerprints: bool, dictionary=None,
-                     encode_batch=None) -> np.ndarray:
+                     encode_batch=None,
+                     assemble: str = "host") -> np.ndarray:
     """Linked-frame device encode — DATA-PARALLEL, not a serial scan.
 
     The linked chain's serialism is an encoder-side illusion: block i's 64 KB
@@ -439,7 +497,7 @@ def _compress_linked(data, config: FrameConfig,
     # Per-row history: row i sees the last 64 KB of plaintext before its
     # block (dictionary tail for row 0, right-aligned).
     W = WINDOW_SIZE
-    hist = np.zeros((nblocks, W), np.int32)
+    hist = np.zeros((nblocks, W), np.uint8)
     for i in range(nblocks):
         avail = min(i * bs, W)
         if avail > 0:
@@ -460,61 +518,116 @@ def _compress_linked(data, config: FrameConfig,
     else:
         outs, out_lens = encode_batch(work_h, lens, W, hist_start)
 
-    from ..ops.assemble_xla import assemble_blocks
-    cap = nblocks * (4 + bs) + 4
-    body, body_total = assemble_blocks(
-        jnp.asarray(outs[:nblocks]), jnp.asarray(out_lens[:nblocks]),
-        jnp.asarray(work[:nblocks]), jnp.asarray(lens[:nblocks]), cap)
-    body_np = np.asarray(body[: int(body_total)]).astype(np.uint8)
-    header = _frame_header_bytes(config.with_(block_independence=False), n,
-                                 dict_id)
-    parts = [header, body_np]
-    if config.content_checksum:
-        ck = np.empty(4, np.uint8)
-        write_u32le(ck, 0, xxhash32(raw, 0))
-        parts.append(ck)
-    return np.concatenate(parts)
+    lcfg = config.with_(block_independence=False)
+    if assemble == "device":
+        from ..ops.assemble_xla import assemble_blocks
+        cap = nblocks * (4 + bs) + 4
+        body, body_total = assemble_blocks(
+            jnp.asarray(outs[:nblocks]), jnp.asarray(out_lens[:nblocks]),
+            jnp.asarray(work[:nblocks]), jnp.asarray(lens[:nblocks]), cap)
+        body_np = np.asarray(body[: int(body_total)].astype(jnp.uint8))
+        header = _frame_header_bytes(lcfg, n, dict_id)
+        parts = [header, body_np]
+        if config.content_checksum:
+            ck = np.empty(4, np.uint8)
+            write_u32le(ck, 0, xxhash32(raw, 0))
+            parts.append(ck)
+        return np.concatenate(parts)
+    outs_np = np.asarray(jnp.asarray(outs[:nblocks]).astype(jnp.uint8))
+    out_lens_np = np.asarray(out_lens[:nblocks])
+    return _host_assemble(raw, outs_np, out_lens_np, lens[:nblocks],
+                          nblocks, bs, lcfg, dict_id)
 
 
 def _decode_independent_pallas(buf, blocks, bs, window=None) -> np.ndarray:
     """Independent-frame decode via the Pallas scalar-interpreter kernel."""
     import jax
 
-    from ..ops.pallas_decode import SLACK, decode_blocks_pallas
+    from ..ops.pallas_decode import SLACK
     from ..ops.pallas_decode import _round_up as _ru
 
     nb = len(blocks)
-    stored_rows = {}
+    any_stored = False
     max_comp = 1
-    for i, (off, size, stored) in enumerate(blocks):
+    for _, size, stored in blocks:
         if stored:
-            stored_rows[i] = buf[off: off + size]
+            any_stored = True
         else:
             max_comp = max(max_comp, size)
     # pow2 bucket keeps the compile cache warm across frames
     M = _bucket_pow2(_ru(max_comp + SLACK, 1024), 1024)
-    comp = np.zeros((nb, M), np.int32)
+    comp = np.zeros((nb, M), np.uint8)
     lens = np.zeros(nb, np.int32)
+    sizes = np.zeros(nb, np.int32)       # wire size (stored = plain size)
+    stored_mask = np.zeros(nb, np.int32)
     for i, (off, size, stored) in enumerate(blocks):
-        if not stored:
+        sizes[i] = size
+        if stored:
+            stored_mask[i] = 1
+        else:
             comp[i, :size] = buf[off: off + size]
             lens[i] = size
     use_history = window is not None
-    hist_np = np.zeros((nb, WINDOW_SIZE), np.int32)
+    interpret = jax.default_backend() != "tpu"
+
+    # Fused per-chunk device programs (decode + row concat + u8 narrowing,
+    # one dispatch each) over fixed-shape row chunks, async-queued so chunk
+    # k+1's transfer overlaps chunk k's compute; per-program round trips
+    # through the host link cost tens of ms each (measured, docs/DESIGN.md
+    # round-2 notes).
+    CH = _FRAME_CHUNK_ROWS_DEC
+    hist_base = None
     if use_history:
-        hist_np[:, WINDOW_SIZE - len(window):] = window
-    outs, out_lens = decode_blocks_pallas(
-        jnp.asarray(comp), jnp.asarray(lens), jnp.asarray(hist_np), bs,
-        use_history, jax.default_backend() != "tpu")
-    outs = np.asarray(outs)
-    out_lens = np.asarray(out_lens)
-    parts = []
-    for i in range(nb):
-        if i in stored_rows:
-            parts.append(stored_rows[i])
+        hist_base = np.zeros((CH, WINDOW_SIZE), np.uint8)
+        hist_base[:, WINDOW_SIZE - len(window):] = window
+    chunks = []
+    for i in range(0, nb, CH):
+        rows = min(CH, nb - i)
+        target = CH if nb > CH else _chunk_rows_bucket(rows)
+
+        def pad(a):
+            if rows == target:
+                return a[i: i + rows]
+            return np.concatenate(
+                [a[i: i + rows],
+                 np.zeros((target - rows,) + a.shape[1:], a.dtype)])
+
+        if use_history:
+            d_hist = jnp.asarray(hist_base[:target])
         else:
-            parts.append(outs[i, : int(out_lens[i])].astype(np.uint8))
-    return np.concatenate(parts) if parts else np.empty(0, np.uint8)
+            d_hist = jnp.zeros((target, WINDOW_SIZE), jnp.uint8)
+        flat, total, row_lens = _pallas_decode_concat(
+            jnp.asarray(pad(comp)), jnp.asarray(pad(lens)),
+            jnp.asarray(pad(sizes)), jnp.asarray(pad(stored_mask)),
+            d_hist, bs, use_history, interpret)
+        chunks.append((flat, total, row_lens))
+    out = np.concatenate(
+        [np.array(f)[: int(t)] for f, t, _ in chunks])  # writable u8
+    if any_stored:
+        # Stored rows were concatenated as garbage placeholders of their
+        # true size — patch them straight from the wire bytes.
+        row_lens = np.concatenate([np.asarray(rl) for _, _, rl in chunks])
+        starts = np.concatenate([[0], np.cumsum(row_lens[:-1])])
+        for i, (off, size, stored) in enumerate(blocks):
+            if stored:
+                out[starts[i]: starts[i] + size] = buf[off: off + size]
+    return out
+
+
+@_functools.partial(jax.jit,
+                    static_argnames=("bs", "use_history", "interpret"))
+def _pallas_decode_concat(comp, lens, sizes, stored, hist, bs: int,
+                          use_history: bool, interpret: bool):
+    """Fused device program: Pallas block decode -> ordered row concat
+    (stored rows reserve their wire size) -> u8 narrowing."""
+    from ..ops.assemble_xla import concat_blocks
+    from ..ops.pallas_decode import decode_blocks_pallas
+
+    outs, out_lens = decode_blocks_pallas(comp, lens, hist, bs, use_history,
+                                          interpret)
+    row_lens = jnp.where(stored > 0, sizes, out_lens)
+    flat, total = concat_blocks(outs, row_lens, comp.shape[0] * bs)
+    return flat.astype(jnp.uint8), total, row_lens
 
 
 def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:
@@ -525,7 +638,7 @@ def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:
     max_comp = max((size for _, size, _ in blocks), default=1)
     m_cap = min(_bucket_pow2(max_comp), block_bound(bs))
     nbp = _rows_bucket(nb)
-    comp = np.zeros((nbp, m_cap), np.int32)
+    comp = np.zeros((nbp, m_cap), np.uint8)
     lens = np.zeros(nbp, np.int32)
     stored = np.zeros(nbp, np.int32)
     for i, (off, size, st) in enumerate(blocks):
@@ -533,7 +646,7 @@ def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:
         lens[i] = size
         stored[i] = 1 if st else 0
 
-    init_window = np.zeros(WINDOW_SIZE, np.int32)
+    init_window = np.zeros(WINDOW_SIZE, np.uint8)
     init_filled = 0
     if window is not None:
         init_filled = len(window)
@@ -545,4 +658,4 @@ def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:
 
     from ..ops.assemble_xla import concat_blocks
     flat, total = concat_blocks(outs[:nb], out_lens[:nb], nb * bs)
-    return np.asarray(flat[: int(total)]).astype(np.uint8)
+    return np.asarray(flat[: int(total)].astype(jnp.uint8))

@@ -52,7 +52,12 @@ class ShardedCodec:
 
     def __init__(self, mesh: Optional[Mesh] = None,
                  config: Optional[FrameConfig] = None,
-                 use_fingerprints: bool = True):
+                 use_fingerprints: bool = True,
+                 engine: str = "xla"):
+        """engine: "xla" (data-parallel kernels on every chip) or "best"
+        (hybrid encoder + Pallas-interpreter decoder on every chip — the
+        fastest per-chip engines; falls back to XLA where a shape is
+        unsupported, e.g. blocks whose chain exceeds the SMEM budget)."""
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = self.mesh.axis_names[0]
         self.ndev = self.mesh.devices.size
@@ -60,6 +65,7 @@ class ShardedCodec:
                        else FrameConfig(block_size=65536,
                                         block_independence=True))
         self.use_fingerprints = use_fingerprints
+        self.engine = engine
         self._build()
 
     def _build(self):
@@ -67,17 +73,34 @@ class ShardedCodec:
         bs = self.config.resolved_block_size
         use_fp = self.use_fingerprints
 
+        use_best = False
+        if self.engine == "best":
+            from ..ops.hybrid_encode import SMEM_CHAIN_BUDGET
+            use_best = bs * 4 <= SMEM_CHAIN_BUDGET
+        self._use_best = use_best
+        interp = jax.default_backend() != "tpu"
+
         # Encoders are cached per static history length (0 = plain blocks,
         # WINDOW_SIZE = dictionary-warmed blocks).
         self._enc_cache = {}
 
         def make_enc(hist_len: int):
-            def enc_shard(work, lens, hist_start):
-                out, out_len = jax.vmap(
-                    lambda w, l, h: encode_block(w, l, hist_len, use_fp, h)
-                )(work, lens, hist_start)
-                total = jax.lax.psum(jnp.sum(out_len), axis)
-                return out, out_len, total
+            if use_best:
+                from ..ops.hybrid_encode import encode_blocks_hybrid
+
+                def enc_shard(work, lens, hist_start):
+                    out, out_len = encode_blocks_hybrid(
+                        work, lens, bs, hist_len, hist_start, interp)
+                    total = jax.lax.psum(jnp.sum(out_len), axis)
+                    return out, out_len, total
+            else:
+                def enc_shard(work, lens, hist_start):
+                    out, out_len = jax.vmap(
+                        lambda w, l, h: encode_block(w, l, hist_len, use_fp,
+                                                     h)
+                    )(work, lens, hist_start)
+                    total = jax.lax.psum(jnp.sum(out_len), axis)
+                    return out, out_len, total
 
             return jax.jit(shard_map(
                 enc_shard, mesh=mesh, check_vma=False,
@@ -87,11 +110,21 @@ class ShardedCodec:
 
         self._make_enc = make_enc
 
-        def dec_shard(comp, lens, hist):
-            out, out_len = jax.vmap(
-                lambda c, l, h: decode_block(c, l, h, bs))(comp, lens, hist)
-            total = jax.lax.psum(jnp.sum(out_len), axis)
-            return out, out_len, total
+        if use_best:
+            from ..ops.pallas_decode import decode_blocks_pallas
+
+            def dec_shard(comp, lens, hist):
+                out, out_len = decode_blocks_pallas(
+                    comp, lens, hist, bs, True, interp)
+                total = jax.lax.psum(jnp.sum(out_len), axis)
+                return out, out_len, total
+        else:
+            def dec_shard(comp, lens, hist):
+                out, out_len = jax.vmap(
+                    lambda c, l, h: decode_block(c, l, h, bs))(comp, lens,
+                                                               hist)
+                total = jax.lax.psum(jnp.sum(out_len), axis)
+                return out, out_len, total
 
         self._dec = jax.jit(shard_map(
             dec_shard, mesh=mesh, check_vma=False,
@@ -149,6 +182,12 @@ class ShardedCodec:
             comp_p = self._pad_rows(np.asarray(comp))
             lens_p = self._pad_rows(np.asarray(lens))
             hist_p = self._pad_rows(np.asarray(hist))
+            if self._use_best:
+                # The Pallas kernel wild-reads up to SLACK bytes past a
+                # row's compressed length and needs width % 1024 == 0.
+                w = comp_p.shape[1]
+                w2 = -(-w // 1024) * 1024 + 1024
+                comp_p = np.pad(comp_p, ((0, 0), (0, w2 - w)))
             sh = NamedSharding(self.mesh, P(self.axis, None))
             sh1 = NamedSharding(self.mesh, P(self.axis))
             out, out_len, _ = self._dec(

@@ -159,3 +159,40 @@ def test_device_encode_pallas_engine(compressible, rng):
     host = compress_frame(data, config=cfg)
     assert bytes(frame) == bytes(host)  # BYTE-IDENTICAL whole frame
     np.testing.assert_array_equal(decompress_frame(np.array(frame)), data)
+
+
+def test_sharded_codec_best_engine(compressible, rng):
+    """engine='best' (hybrid encoder + Pallas decoder on every chip):
+    round-trips through itself and cross-validates with the host tier."""
+    codec = ShardedCodec(make_mesh(4),
+                         FrameConfig(block_size=4096,
+                                     block_independence=True),
+                         engine="best")
+    assert codec._use_best
+    data = np.concatenate([np.asarray(compressible(60_000)),
+                           rng.integers(0, 256, 9_000, dtype=np.uint8)])
+    frame = codec.compress(data)
+    np.testing.assert_array_equal(codec.decompress(np.array(frame)), data)
+    # host one-shot decoder consumes the best-engine sharded frame
+    np.testing.assert_array_equal(decompress_frame(np.array(frame)), data)
+    # best-engine decoder consumes a host frame
+    host_frame = compress_frame(
+        data, config=FrameConfig(block_size=4096, block_independence=True))
+    np.testing.assert_array_equal(codec.decompress(np.array(host_frame)),
+                                  data)
+    # ratio gate vs the reference-identical host encoder
+    assert len(frame) <= len(host_frame)
+
+
+def test_sharded_best_engine_dictionary(compressible):
+    d = np.asarray(compressible(9000))
+    codec = ShardedCodec(make_mesh(4),
+                         FrameConfig(block_size=4096,
+                                     block_independence=True),
+                         engine="best")
+    data = np.asarray(compressible(30_000))
+    frame = codec.compress(data, dictionary=d)
+    np.testing.assert_array_equal(
+        codec.decompress(np.array(frame), dictionary=d), data)
+    np.testing.assert_array_equal(
+        decompress_frame(np.array(frame), dictionary=d), data)
