@@ -70,9 +70,180 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _vmem_helpers(iota, comp_ref, comp_s_ref):
+    """Byte-addressed primitives over lane-aligned VMEM (+ packed SMEM
+    parse loads). Shared by the batched and linked decode kernels."""
+
+    def rrow(ref, base_row, q):
+        """Aligned (1,128) row containing byte q (row base + q//128)."""
+        return ref[pl.ds(base_row + q // LANES, 1), :]
+
+    def read128(ref, base_row, q):
+        s = q % LANES
+        r0 = pltpu.roll(rrow(ref, base_row, q), -s, axis=1)
+        r1 = pltpu.roll(rrow(ref, base_row, q + LANES), -s, axis=1)
+        return jnp.where(iota < LANES - s, r0, r1)
+
+    def write128(ref, base_row, q, v):
+        s = q % LANES
+        rolled = pltpu.roll(v, s, axis=1)
+        row = base_row + q // LANES
+        d0 = ref[pl.ds(row, 1), :]
+        d1 = ref[pl.ds(row + 1, 1), :]
+        ref[pl.ds(row, 1), :] = jnp.where(iota >= s, rolled, d0)
+        ref[pl.ds(row + 1, 1), :] = jnp.where(iota < s, rolled, d1)
+
+    def readbyte(ref, base_row, q):
+        s = q % LANES
+        return pltpu.roll(rrow(ref, base_row, q), -s, axis=1)[0, 0]
+
+    if comp_s_ref is not None:
+        # Sequence-stream byte read = one scalar SMEM load plus a
+        # shift/mask unpack (the round-1 version paid a vreg->sreg lane
+        # extract here, ~10x costlier). base_row is the VMEM row base
+        # (r*comp_nr); the packed base is base_row//4 = r*pk_nr.
+        def streambyte(base_row, q):
+            wd = comp_s_ref[base_row // 4 + q // (4 * LANES),
+                            (q // 4) % LANES]
+            return (wd >> ((q % 4) * 8)) & 0xFF
+    else:
+        def streambyte(base_row, q):
+            return readbyte(comp_ref, base_row, q)
+
+    return read128, write128, readbyte, streambyte
+
+
+def _interpret_block(iota, io_ref, io_base, comp_ref, comp_base, comp_len,
+                     o_start, o_limit, helpers):
+    """Run the LZ4 sequence interpreter for one block
+    (blockDecompress.js:55-272 semantics) writing into io_ref starting at
+    byte o_start; returns the final output cursor.
+
+    Hostile-input write bound: parsed lengths clamp so the write cursor
+    never leaves [o_start, o_limit); wild 128-byte chunk writes then spill
+    at most SLACK bytes past it. The fuzz suite drives this with garbage
+    blocks.
+    """
+    read128, write128, readbyte, streambyte = helpers
+
+    def parse_ext(p, base):
+        def cond(st):
+            return st[2] == 255
+
+        def body(st):
+            ln, p, _ = st
+            v = streambyte(comp_base, p)
+            return ln + v, p + 1, v
+
+        ln, p, _ = jax.lax.while_loop(
+            cond, body, (base, p, jnp.int32(255)))
+        return ln, p
+
+    def seq_body(st):
+        p, o = st
+        token = streambyte(comp_base, p)
+        p = p + 1
+
+        lit_len, p = jax.lax.cond(
+            (token >> 4) == 15,
+            lambda pp: parse_ext(pp, jnp.int32(15)),
+            lambda pp: (token >> 4, pp), p)
+        lit_len = jnp.minimum(lit_len, o_limit - o)
+
+        # literals: wild 128-byte chunks
+        def lit_chunk(k, _):
+            write128(io_ref, io_base, o + k * LANES,
+                     read128(comp_ref, comp_base, p + k * LANES))
+            return 0
+
+        jax.lax.fori_loop(0, (lit_len + LANES - 1) // LANES,
+                          lit_chunk, 0)
+        p = p + lit_len
+        o = o + lit_len
+
+        def do_match(args):
+            p, o = args
+            off_lo = streambyte(comp_base, p)
+            off_hi = streambyte(comp_base, p + 1)
+            offset = off_lo + (off_hi << 8)
+            p = p + 2
+            mlen, p = jax.lax.cond(
+                (token & 15) == 15,
+                lambda pp: parse_ext(pp, jnp.int32(15)),
+                lambda pp: (token & 15, pp), p)
+            mlen = jnp.minimum(mlen + 4, o_limit - o)
+            # Hostile offsets (0, or reaching before the io region)
+            # zero the copy instead of reading out of bounds.
+            mlen = jnp.where((offset >= 1) & (offset <= o), mlen, 0)
+            offset = jnp.clip(offset, 1, jnp.maximum(o, 1))
+            cs = jnp.maximum(o - offset, 0)
+            nchunks = (mlen + LANES - 1) // LANES
+
+            def far(_):
+                # offset >= 128: source chunk fully written.
+                def body(k, _):
+                    write128(io_ref, io_base, o + k * LANES,
+                             read128(io_ref, io_base, cs + k * LANES))
+                    return 0
+                jax.lax.fori_loop(0, nchunks, body, 0)
+                return 0
+
+            def near(_):
+                # 1 < offset < 128. Chunk 0: periodize the first
+                # `offset` lanes by in-register doubling, write once.
+                v0 = read128(io_ref, io_base, cs)
+
+                def grow(st):
+                    v, wdt = st
+                    v = jnp.where(iota < wdt, v,
+                                  pltpu.roll(v, wdt, axis=1))
+                    return v, wdt * 2
+
+                v, _ = jax.lax.while_loop(
+                    lambda st: st[1] < LANES, grow, (v0, offset))
+                write128(io_ref, io_base, o, v)
+
+                # Chunks k>=1: read at dst - m*offset with m =
+                # floor((dst-cs)/offset): source lies in
+                # [cs, cs+offset) and is fully written.
+                def body(k, _):
+                    dst = o + k * LANES
+                    m = (dst - cs) // offset
+                    write128(io_ref, io_base, dst,
+                             read128(io_ref, io_base,
+                                     dst - m * offset))
+                    return 0
+                jax.lax.fori_loop(1, nchunks, body, 0)
+                return 0
+
+            def rle(_):
+                v = jnp.full((1, LANES),
+                             readbyte(io_ref, io_base, cs), jnp.int32)
+
+                def body(k, _):
+                    write128(io_ref, io_base, o + k * LANES, v)
+                    return 0
+                jax.lax.fori_loop(0, nchunks, body, 0)
+                return 0
+
+            branch = jnp.where((offset >= LANES) | (mlen == 0), 0,
+                               jnp.where(offset == 1, 2, 1))
+            jax.lax.switch(branch, [far, near, rle], 0)
+            return p, o + mlen
+
+        return jax.lax.cond(p < comp_len, do_match,
+                            lambda args: args, (p, o))
+
+    p, o = jax.lax.while_loop(
+        lambda st: st[0] < comp_len, seq_body,
+        (jnp.int32(0), jnp.int32(0) + o_start))
+    return o
+
+
 def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
                  out_base: int, out_cap: int, smem_stream: bool):
-    """Build the kernel for a (rows)-blocks-per-step layout.
+    """Build the batched (independent-blocks) kernel for a
+    (rows)-blocks-per-step layout.
 
     Refs (2D, lane dim 128):
       lens_ref: SMEM i32[nb] (scalar prefetch)
@@ -81,7 +252,6 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
         (rows*comp_nr//4, 128) — smem_stream only
       hist_ref: (rows*hist_nr, 128) or None
       io_ref:   (rows*io_nr, 128)
-      len_out:  (rows, 128)
     """
 
     def kernel(lens_ref, *refs):
@@ -92,42 +262,7 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
         io_ref = refs.pop(0)
         g = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-
-        def rrow(ref, base_row, q):
-            """Aligned (1,128) row containing byte q (row base + q//128)."""
-            return ref[pl.ds(base_row + q // LANES, 1), :]
-
-        def read128(ref, base_row, q):
-            s = q % LANES
-            r0 = pltpu.roll(rrow(ref, base_row, q), -s, axis=1)
-            r1 = pltpu.roll(rrow(ref, base_row, q + LANES), -s, axis=1)
-            return jnp.where(iota < LANES - s, r0, r1)
-
-        def write128(ref, base_row, q, v):
-            s = q % LANES
-            rolled = pltpu.roll(v, s, axis=1)
-            row = base_row + q // LANES
-            d0 = ref[pl.ds(row, 1), :]
-            d1 = ref[pl.ds(row + 1, 1), :]
-            ref[pl.ds(row, 1), :] = jnp.where(iota >= s, rolled, d0)
-            ref[pl.ds(row + 1, 1), :] = jnp.where(iota < s, rolled, d1)
-
-        def readbyte(ref, base_row, q):
-            s = q % LANES
-            return pltpu.roll(rrow(ref, base_row, q), -s, axis=1)[0, 0]
-
-        if smem_stream:
-            # Sequence-stream byte read = one scalar SMEM load plus a
-            # shift/mask unpack (the round-1 version paid a vreg->sreg lane
-            # extract here, ~10x costlier). base_row is the VMEM row base
-            # (r*comp_nr); the packed base is base_row//4 = r*pk_nr.
-            def streambyte(base_row, q):
-                wd = comp_s_ref[base_row // 4 + q // (4 * LANES),
-                                (q // 4) % LANES]
-                return (wd >> ((q % 4) * 8)) & 0xFF
-        else:
-            def streambyte(base_row, q):
-                return readbyte(comp_ref, base_row, q)
+        helpers = _vmem_helpers(iota, comp_ref, comp_s_ref)
 
         def decode_row(r):
             comp_base = r * comp_nr
@@ -142,124 +277,9 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
                     return 0
                 jax.lax.fori_loop(0, hist_nr, seed, 0)
 
-            def parse_ext(p, base):
-                def cond(st):
-                    return st[2] == 255
-
-                def body(st):
-                    ln, p, _ = st
-                    v = streambyte(comp_base, p)
-                    return ln + v, p + 1, v
-
-                ln, p, _ = jax.lax.while_loop(
-                    cond, body, (base, p, jnp.int32(255)))
-                return ln, p
-
-            # Hostile-input write bound: parsed lengths clamp so the write
-            # cursor never leaves this block's io region (a no-op for valid
-            # streams, whose total output fits out_cap by construction).
-            # Wild 128-byte chunk writes then spill at most into the SLACK
-            # rows. The fuzz suite drives this with garbage blocks.
-            o_limit = out_base + out_cap
-
-            def seq_body(st):
-                p, o = st
-                token = streambyte(comp_base, p)
-                p = p + 1
-
-                lit_len, p = jax.lax.cond(
-                    (token >> 4) == 15,
-                    lambda pp: parse_ext(pp, jnp.int32(15)),
-                    lambda pp: (token >> 4, pp), p)
-                lit_len = jnp.minimum(lit_len, o_limit - o)
-
-                # literals: wild 128-byte chunks
-                def lit_chunk(k, _):
-                    write128(io_ref, io_base, o + k * LANES,
-                             read128(comp_ref, comp_base, p + k * LANES))
-                    return 0
-
-                jax.lax.fori_loop(0, (lit_len + LANES - 1) // LANES,
-                                  lit_chunk, 0)
-                p = p + lit_len
-                o = o + lit_len
-
-                def do_match(args):
-                    p, o = args
-                    off_lo = streambyte(comp_base, p)
-                    off_hi = streambyte(comp_base, p + 1)
-                    offset = off_lo + (off_hi << 8)
-                    p = p + 2
-                    mlen, p = jax.lax.cond(
-                        (token & 15) == 15,
-                        lambda pp: parse_ext(pp, jnp.int32(15)),
-                        lambda pp: (token & 15, pp), p)
-                    mlen = jnp.minimum(mlen + 4, o_limit - o)
-                    # Hostile offsets (0, or reaching before the io region)
-                    # zero the copy instead of reading out of bounds.
-                    mlen = jnp.where((offset >= 1) & (offset <= o), mlen, 0)
-                    offset = jnp.clip(offset, 1, jnp.maximum(o, 1))
-                    cs = jnp.maximum(o - offset, 0)
-                    nchunks = (mlen + LANES - 1) // LANES
-
-                    def far(_):
-                        # offset >= 128: source chunk fully written.
-                        def body(k, _):
-                            write128(io_ref, io_base, o + k * LANES,
-                                     read128(io_ref, io_base, cs + k * LANES))
-                            return 0
-                        jax.lax.fori_loop(0, nchunks, body, 0)
-                        return 0
-
-                    def near(_):
-                        # 1 < offset < 128. Chunk 0: periodize the first
-                        # `offset` lanes by in-register doubling, write once.
-                        v0 = read128(io_ref, io_base, cs)
-
-                        def grow(st):
-                            v, wdt = st
-                            v = jnp.where(iota < wdt, v,
-                                          pltpu.roll(v, wdt, axis=1))
-                            return v, wdt * 2
-
-                        v, _ = jax.lax.while_loop(
-                            lambda st: st[1] < LANES, grow, (v0, offset))
-                        write128(io_ref, io_base, o, v)
-
-                        # Chunks k>=1: read at dst - m*offset with m =
-                        # floor((dst-cs)/offset): source lies in
-                        # [cs, cs+offset) and is fully written.
-                        def body(k, _):
-                            dst = o + k * LANES
-                            m = (dst - cs) // offset
-                            write128(io_ref, io_base, dst,
-                                     read128(io_ref, io_base,
-                                             dst - m * offset))
-                            return 0
-                        jax.lax.fori_loop(1, nchunks, body, 0)
-                        return 0
-
-                    def rle(_):
-                        v = jnp.full((1, LANES),
-                                     readbyte(io_ref, io_base, cs), jnp.int32)
-
-                        def body(k, _):
-                            write128(io_ref, io_base, o + k * LANES, v)
-                            return 0
-                        jax.lax.fori_loop(0, nchunks, body, 0)
-                        return 0
-
-                    branch = jnp.where((offset >= LANES) | (mlen == 0), 0,
-                                       jnp.where(offset == 1, 2, 1))
-                    jax.lax.switch(branch, [far, near, rle], 0)
-                    return p, o + mlen
-
-                return jax.lax.cond(p < comp_len, do_match,
-                                    lambda args: args, (p, o))
-
-            p, o = jax.lax.while_loop(
-                lambda st: st[0] < comp_len, seq_body,
-                (jnp.int32(0), jnp.int32(out_base)))
+            o = _interpret_block(iota, io_ref, io_base, comp_ref, comp_base,
+                                 comp_len, jnp.int32(out_base),
+                                 out_base + out_cap, helpers)
             # Output length rides in the last slack row of this block's io.
             io_ref[pl.ds(io_base + io_nr - 1, 1), :] = jnp.full(
                 (1, LANES), o - out_base, jnp.int32)
@@ -376,6 +396,147 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     io = io.reshape(nbp, io_nr * LANES)
     out_len = io[:nb, (io_nr - 1) * LANES]
     return io[:nb, out_base: out_base + block_size], out_len
+
+
+def _make_linked_kernel(rows: int, comp_nr: int, io_nr: int, olen_nr: int,
+                        block_size: int, smem_stream: bool):
+    """Linked-chain kernel: decode `rows` dependent blocks serially into ONE
+    contiguous io region laid out as [64 KB window | out0 | out1 | ...], so
+    cross-block (and dictionary) back-references are plain negative offsets
+    — the layout trick of the batched kernel applied to the whole chain
+    (lz4Decode.js:279-306's rolling window becomes implicit). The output
+    cursor carries across rows inside the kernel; stored blocks copy their
+    wire bytes as vector chunks (no pl.when: their chunk counts and the
+    interpreter's comp_len zero out on the other path, so both paths are
+    straight-line).
+
+    Refs: lens_ref/stored_ref (scalar prefetch), comp_ref VMEM
+    (rows*comp_nr,128), [comp_s_ref packed SMEM], win_ref VMEM (W/128,128),
+    io_ref out (io_nr,128), olen_ref out (olen_nr,128).
+    """
+    W_NR = W // LANES
+
+    def kernel(lens_ref, stored_ref, *refs):
+        refs = list(refs)
+        comp_ref = refs.pop(0)
+        comp_s_ref = refs.pop(0) if smem_stream else None
+        win_ref = refs.pop(0)
+        io_ref = refs.pop(0)
+        olen_ref = refs.pop(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        helpers = _vmem_helpers(iota, comp_ref, comp_s_ref)
+        read128, write128, _, _ = helpers
+
+        def seed(k, _):
+            io_ref[pl.ds(k, 1), :] = win_ref[pl.ds(k, 1), :]
+            return 0
+        jax.lax.fori_loop(0, W_NR, seed, 0)
+
+        def row_step(r, cursor):
+            comp_base = r * comp_nr
+            clen = jnp.minimum(lens_ref[r], block_size)
+            is_stored = stored_ref[r] > 0
+
+            # Stored block: wire bytes ARE the plaintext — vector copy.
+            stored_n = jnp.where(is_stored, clen, 0)
+
+            def copy_chunk(k, _):
+                write128(io_ref, 0, cursor + k * LANES,
+                         read128(comp_ref, comp_base, k * LANES))
+                return 0
+            jax.lax.fori_loop(0, (stored_n + LANES - 1) // LANES,
+                              copy_chunk, 0)
+
+            o_end = _interpret_block(
+                iota, io_ref, 0, comp_ref, comp_base,
+                jnp.where(is_stored, 0, lens_ref[r]),
+                cursor, cursor + block_size, helpers)
+            out_len = jnp.where(is_stored, clen, o_end - cursor)
+            olen_ref[pl.ds(r, 1), :] = jnp.full((1, LANES), out_len,
+                                                jnp.int32)
+            return cursor + out_len
+
+        jax.lax.fori_loop(0, rows, row_step, jnp.int32(W))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def decode_linked_chunk_pallas(comp: jax.Array, lens: jax.Array,
+                               stored: jax.Array, window: jax.Array,
+                               block_size: int, interpret: bool = False):
+    """Decode a chunk of LINKED (dependent) LZ4 blocks on device.
+
+    Args:
+      comp: u8/i32[rows, M] wire bytes per block (compressed, or the raw
+        payload for stored rows); M % 1024 == 0 with >= SLACK zero pad.
+      lens: i32[rows] wire sizes (0 rows are skipped).
+      stored: i32[rows] stored-block flags.
+      window: u8/i32[WINDOW_SIZE] initial history, right-aligned (zeros
+        where no history exists yet).
+      block_size: static per-block output capacity.
+
+    Returns (out: u8[rows*block_size] packed plaintext, total: i32,
+    out_lens: i32[rows], win_next: i32[WINDOW_SIZE] — the carried window
+    for the next chunk, valid even when this chunk decodes 0 bytes).
+    """
+    rows, M = comp.shape
+    assert M % 1024 == 0, M
+    comp = comp.astype(jnp.int32)
+    window = window.astype(jnp.int32)
+    smem_stream = rows * M <= SMEM_STREAM_BUDGET
+
+    comp_nr = M // LANES
+    io_bytes = _round_up(W + rows * block_size + SLACK + LANES, 1024)
+    io_nr = io_bytes // LANES
+    olen_nr = max(_round_up(rows, 8), 8)
+
+    in_specs = [pl.BlockSpec((rows * comp_nr, LANES),
+                             lambda g, lens, stored: (g, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [comp.reshape(rows * comp_nr, LANES)]
+    if smem_stream:
+        c4 = comp.reshape(rows, M // 4, 4)
+        comp_pk = (c4[..., 0] | (c4[..., 1] << 8) | (c4[..., 2] << 16)
+                   | (c4[..., 3] << 24))
+        in_specs.append(pl.BlockSpec((rows * comp_nr // 4, LANES),
+                                     lambda g, lens, stored: (g, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(comp_pk.reshape(rows * comp_nr // 4, LANES))
+    in_specs.append(pl.BlockSpec((W // LANES, LANES),
+                                 lambda g, lens, stored: (g, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(window.reshape(W // LANES, LANES))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((io_nr, LANES), lambda g, lens, stored: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((olen_nr, LANES), lambda g, lens, stored: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    io, olen = pl.pallas_call(
+        _make_linked_kernel(rows, comp_nr, io_nr, olen_nr, block_size,
+                            smem_stream),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((io_nr, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((olen_nr, LANES), jnp.int32)],
+        interpret=interpret,
+    )(lens, stored, *operands)
+
+    out_lens = olen[:rows, 0]
+    total = jnp.sum(out_lens)
+    flat = io.reshape(-1)
+    out = flat[W: W + rows * block_size].astype(jnp.uint8)
+    # Next chunk's window = the last W bytes of [window | outputs]
+    # = flat[total : total + W] (total == 0 returns the input window).
+    win_next = jax.lax.dynamic_slice(flat, (total,), (W,))
+    return out, total, out_lens, win_next
 
 
 def decode_block_pallas_host(comp_bytes: np.ndarray, out_cap: int,

@@ -390,6 +390,9 @@ def device_decompress_frame(data, verify_checksum: bool = True,
         result = _decode_independent_pallas(buf, blocks, bs, window)
     elif header["independent"]:
         result = _decode_independent(buf, blocks, bs, decode_batch, window)
+    elif (engine == "pallas" and decode_batch is None
+          and bs <= _PALLAS_LINKED_MAX_BS):
+        result = _decode_linked_pallas(buf, blocks, bs, window)
     else:
         result = _decode_linked(buf, blocks, bs, window)
 
@@ -628,6 +631,64 @@ def _pallas_decode_concat(comp, lens, sizes, stored, hist, bs: int,
     row_lens = jnp.where(stored > 0, sizes, out_lens)
     flat, total = concat_blocks(outs, row_lens, comp.shape[0] * bs)
     return flat.astype(jnp.uint8), total, row_lens
+
+
+# Linked-chain Pallas decode keeps the whole chunk's io region
+# ([64 KB window | outputs]) in VMEM; larger block sizes fall back to the
+# XLA scan.
+_PALLAS_LINKED_MAX_BS = 262144
+
+
+def _decode_linked_pallas(buf, blocks, bs, window=None) -> np.ndarray:
+    """Linked-frame decode via the chained Pallas interpreter: chunks of
+    blocks decode serially INSIDE one kernel call (cross-block
+    back-references are plain negative offsets in the chained io layout);
+    the 64 KB window carries between chunk calls as a device array, so the
+    only per-chunk host traffic is the wire bytes in and plaintext out."""
+    import jax
+
+    from ..ops.pallas_decode import (SLACK, SMEM_STREAM_BUDGET,
+                                     decode_linked_chunk_pallas)
+    from ..ops.pallas_decode import _round_up as _ru
+
+    nb = len(blocks)
+    max_comp = max((size for _, size, _ in blocks), default=1)
+    M = _bucket_pow2(_ru(max_comp + SLACK, 1024), 1024)
+    CH = 16 if 16 * M <= SMEM_STREAM_BUDGET else 8
+
+    comp = np.zeros((nb, M), np.uint8)
+    lens = np.zeros(nb, np.int32)
+    stored = np.zeros(nb, np.int32)
+    for i, (off, size, st) in enumerate(blocks):
+        comp[i, :size] = buf[off: off + size]
+        lens[i] = size
+        stored[i] = 1 if st else 0
+
+    win = np.zeros(WINDOW_SIZE, np.uint8)
+    if window is not None:
+        win[WINDOW_SIZE - len(window):] = window
+    d_win = jnp.asarray(win)
+    interp = jax.default_backend() != "tpu"
+
+    parts = []
+    for i in range(0, nb, CH):
+        rows = min(CH, nb - i)
+        target = CH if nb > CH else max(_ru(rows, 8), 8)
+
+        def pad(a):
+            if rows == target:
+                return a[i: i + rows]
+            return np.concatenate(
+                [a[i: i + rows],
+                 np.zeros((target - rows,) + a.shape[1:], a.dtype)])
+
+        out, total, _, d_win = decode_linked_chunk_pallas(
+            jnp.asarray(pad(comp)), jnp.asarray(pad(lens)),
+            jnp.asarray(pad(stored)), d_win, bs, interp)
+        parts.append((out, total))
+    if not parts:
+        return np.empty(0, np.uint8)
+    return np.concatenate([np.asarray(o)[: int(t)] for o, t in parts])
 
 
 def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:

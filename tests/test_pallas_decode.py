@@ -124,3 +124,65 @@ def test_smem_stream_paths_identical(compressible):
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     np.testing.assert_array_equal(np.asarray(a[0][0][:32768]).astype(np.uint8),
                                   data)
+
+
+def test_linked_chunk_kernel_roundtrip(compressible):
+    """Chained linked decode: one kernel call decodes dependent blocks with
+    cross-block back-references, window carried between calls."""
+    import jax.numpy as jnp
+
+    from divortio_lz4_tpu import FrameConfig, compress
+    from divortio_lz4_tpu.parallel.device import (
+        _decode_linked_pallas, parse_block_index)
+
+    data = np.asarray(compressible(300000))  # 5 linked 64 KB blocks
+    cfg = FrameConfig(block_size=65536, block_independence=False)
+    frame = np.array(compress(data, config=cfg))
+    header, blocks, _ = parse_block_index(frame)
+    assert not header["independent"] and len(blocks) > 1
+    out = _decode_linked_pallas(frame, blocks, header["block_max"])
+    np.testing.assert_array_equal(out, data)
+
+
+def test_linked_pallas_engine_stored_blocks(rng, compressible):
+    """Linked frames mixing compressed and stored blocks through the
+    public device decode with engine='pallas'."""
+    from divortio_lz4_tpu import FrameConfig, compress
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    data = np.concatenate([
+        np.asarray(compressible(90000)),
+        rng.integers(0, 256, 70000, dtype=np.uint8),  # stored rows
+        np.asarray(compressible(80000)),
+    ])
+    cfg = FrameConfig(block_size=65536, block_independence=False)
+    frame = np.array(compress(data, config=cfg))
+    out = device_decompress_frame(frame, engine="pallas")
+    np.testing.assert_array_equal(np.asarray(out), data)
+
+
+def test_linked_pallas_engine_dictionary(compressible):
+    from divortio_lz4_tpu import FrameConfig, compress
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    d = np.asarray(compressible(5000))
+    data = np.asarray(compressible(150000))
+    cfg = FrameConfig(block_size=65536, block_independence=False)
+    frame = np.array(compress(data, dictionary=d, config=cfg))
+    out = device_decompress_frame(frame, engine="pallas", dictionary=d)
+    np.testing.assert_array_equal(np.asarray(out), data)
+
+
+def test_linked_pallas_matches_xla_scan(compressible):
+    """Same frame through both linked device decoders."""
+    from divortio_lz4_tpu import FrameConfig, compress
+    from divortio_lz4_tpu.parallel.device import (
+        _decode_linked, _decode_linked_pallas, parse_block_index)
+
+    data = np.asarray(compressible(200000))
+    cfg = FrameConfig(block_size=65536, block_independence=False)
+    frame = np.array(compress(data, config=cfg))
+    _, blocks, _ = parse_block_index(frame)
+    np.testing.assert_array_equal(
+        _decode_linked_pallas(frame, blocks, 65536),
+        _decode_linked(frame, blocks, 65536))
