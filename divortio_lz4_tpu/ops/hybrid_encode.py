@@ -304,6 +304,13 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int, chain_nr: int,
 # pallas_decode.SMEM_STREAM_BUDGET, validated against its observed OOM).
 SMEM_CHAIN_BUDGET = 448 * 1024
 
+def hybrid_max_bs(hist_len: int = 0) -> int:
+    """Largest supported block size. The chain packs payload positions as
+    u16 (pos << 16 | dist), so payloads must stay within 64 KB — which is
+    also the largest LZ4 block-size tier below 256 KB, and keeps the chain
+    within the SMEM budget. Larger blocks use encode_xla."""
+    return WINDOW_SIZE
+
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "hist_len", "interpret"))
@@ -316,8 +323,9 @@ def encode_blocks_hybrid(work: jax.Array, lens: jax.Array, block_size: int,
       work: i32[nb, hist_len + block_size] bytes ([history | payload] rows,
         zero-padded payload tails).
       lens: i32[nb] payload sizes.
-      block_size: static payload capacity; % 1024 == 0, <= 64 KB (the
-        packed chain must fit SMEM; larger blocks use encode_xla).
+      block_size: static payload capacity; % 1024 == 0, <= hybrid_max_bs()
+        (the chain packs payload positions as u16; larger blocks use
+        encode_xla).
       hist_len: static history prefix width (0 or WINDOW_SIZE).
       hist_start: first valid history index per batch (scalar or i32[nb]).
 
@@ -326,7 +334,7 @@ def encode_blocks_hybrid(work: jax.Array, lens: jax.Array, block_size: int,
     nb, NW = work.shape
     B = block_size
     assert NW == hist_len + B and B % 1024 == 0
-    assert B * 4 <= SMEM_CHAIN_BUDGET, "block too large for the SMEM chain"
+    assert B <= hybrid_max_bs(hist_len), "block too large for VMEM"
     # Accept uint8 rows: the widening to i32 lanes runs ON DEVICE, so the
     # host->device transfer ships 1 byte/byte (the tunnel/PCIe link is the
     # production path's bottleneck, measured in docs/BENCHMARKS.md).

@@ -302,6 +302,19 @@ def _make_kernel(rows: int, comp_nr: int, io_nr: int, hist_nr: int,
 # exceeds it at rows=1 fall back to the vreg-extract parse path.
 SMEM_STREAM_BUDGET = 448 * 1024
 
+# Per-grid-step VMEM budget (io + comp windows, bytes of i32 lanes).
+# VMEM is ~16 MB/core and the pipeline double-buffers windows; 6 MB/step
+# keeps the doubled footprint comfortably under the ceiling. Blocks whose
+# single-row footprint exceeds it (e.g. 4 MB blocks) must use the XLA
+# decoder — callers gate on pallas_row_bytes().
+VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def pallas_row_bytes(block_size: int, M: int, use_history: bool) -> int:
+    """Per-block VMEM footprint (bytes) of the batched decode kernel."""
+    hist = W if use_history else 0
+    return (_round_up(hist + block_size + SLACK, 1024) + M + hist) * 4
+
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "use_history", "interpret",
@@ -332,6 +345,12 @@ def decode_blocks_pallas(comp: jax.Array, lens: jax.Array, hist: jax.Array,
     comp = comp.astype(jnp.int32)
     hist = hist.astype(jnp.int32)
     rows = 8 if not use_history else 4
+    # Large blocks: cap rows so the double-buffered io+comp windows fit
+    # VMEM (callers gate out blocks whose single-row footprint exceeds
+    # the budget — see pallas_row_bytes).
+    per_row = pallas_row_bytes(block_size, M, use_history)
+    while rows > 1 and rows * per_row > VMEM_BUDGET:
+        rows //= 2
     # Fewer rows per grid step keep the SMEM parse copy within budget even
     # for barely-compressible batches (M near the block bound); the grid
     # pipeline amortizes the extra steps. Footprint is in packed bytes.

@@ -119,19 +119,18 @@ def device_compress_frame(data,
     the XLA kernel per chip, ratio still < reference), or "pallas" (the
     compiled greedy-scan kernel — BYTE-IDENTICAL to the reference encoder).
     "pallas" applies to independent frames without a dictionary; "hybrid"
-    covers dictionaries and linked frames too, but needs block_size <=
-    64 KB (the packed chain must fit SMEM). Unsupported shapes fall back
-    to XLA.
+    covers dictionaries and linked frames too, up to
+    hybrid_encode.hybrid_max_bs() (64 KB blocks — the chain's u16 position
+    ceiling). Unsupported shapes fall back to XLA.
     """
     if use_fingerprints is None:
         use_fingerprints = config.favor_ratio
     if engine == "hybrid" and encode_batch is None:
         import jax as _jax
 
-        from ..ops.hybrid_encode import SMEM_CHAIN_BUDGET, \
-            encode_blocks_hybrid
+        from ..ops.hybrid_encode import encode_blocks_hybrid, hybrid_max_bs
         _bs = config.resolved_block_size
-        if _bs * 4 <= SMEM_CHAIN_BUDGET:  # else fall back to XLA
+        if _bs <= hybrid_max_bs():  # else fall back to XLA
             def encode_batch(w, l, hl, hs):
                 return encode_blocks_hybrid(
                     w, l, _bs, hl, hs, _jax.default_backend() != "tpu")
@@ -386,7 +385,9 @@ def device_decompress_frame(data, verify_checksum: bool = True,
 
     if not blocks:
         result = np.empty(0, dtype=np.uint8)
-    elif header["independent"] and engine == "pallas" and decode_batch is None:
+    elif (header["independent"] and engine == "pallas"
+          and decode_batch is None and _pallas_indep_fits(buf, blocks, bs,
+                                                          window)):
         result = _decode_independent_pallas(buf, blocks, bs, window)
     elif header["independent"]:
         result = _decode_independent(buf, blocks, bs, decode_batch, window)
@@ -633,6 +634,18 @@ def _pallas_decode_concat(comp, lens, sizes, stored, hist, bs: int,
     return flat.astype(jnp.uint8), total, row_lens
 
 
+def _pallas_indep_fits(buf, blocks, bs, window) -> bool:
+    """Whether the batched Pallas decoder's per-block VMEM footprint fits
+    (large blocks — e.g. the 4 MB default — fall back to the XLA kernel)."""
+    from ..ops.pallas_decode import SLACK, VMEM_BUDGET, pallas_row_bytes
+    from ..ops.pallas_decode import _round_up as _ru
+
+    max_comp = max((size for _, size, stored in blocks if not stored),
+                   default=1)
+    M = _bucket_pow2(_ru(max_comp + SLACK, 1024), 1024)
+    return pallas_row_bytes(bs, M, window is not None) <= VMEM_BUDGET
+
+
 # Linked-chain Pallas decode keeps the whole chunk's io region
 # ([64 KB window | outputs]) in VMEM; larger block sizes fall back to the
 # XLA scan.
@@ -647,14 +660,19 @@ def _decode_linked_pallas(buf, blocks, bs, window=None) -> np.ndarray:
     only per-chunk host traffic is the wire bytes in and plaintext out."""
     import jax
 
-    from ..ops.pallas_decode import (SLACK, SMEM_STREAM_BUDGET,
+    from ..ops.pallas_decode import (SLACK, SMEM_STREAM_BUDGET, VMEM_BUDGET,
                                      decode_linked_chunk_pallas)
     from ..ops.pallas_decode import _round_up as _ru
 
     nb = len(blocks)
     max_comp = max((size for _, size, _ in blocks), default=1)
     M = _bucket_pow2(_ru(max_comp + SLACK, 1024), 1024)
-    CH = 16 if 16 * M <= SMEM_STREAM_BUDGET else 8
+    # Chunk rows: the chained io region + comp windows must fit VMEM and
+    # the packed parse stream should fit SMEM.
+    CH = 16
+    while CH > 1 and ((WINDOW_SIZE + CH * bs + SLACK) * 4 + CH * M * 4
+                      > VMEM_BUDGET or CH * M > SMEM_STREAM_BUDGET):
+        CH //= 2
 
     comp = np.zeros((nb, M), np.uint8)
     lens = np.zeros(nb, np.int32)

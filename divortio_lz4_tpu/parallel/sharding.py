@@ -75,8 +75,8 @@ class ShardedCodec:
 
         use_best = False
         if self.engine == "best":
-            from ..ops.hybrid_encode import SMEM_CHAIN_BUDGET
-            use_best = bs * 4 <= SMEM_CHAIN_BUDGET
+            from ..ops.hybrid_encode import hybrid_max_bs
+            use_best = bs <= hybrid_max_bs()
         self._use_best = use_best
         interp = jax.default_backend() != "tpu"
 

@@ -129,3 +129,18 @@ def test_hybrid_frame_engine(compressible):
     f = device_compress_frame(data[:8000], cfg, dictionary=d,
                               engine="hybrid")
     assert bytes(decompress(np.array(f), dictionary=d)) == bytes(data[:8000])
+
+
+def test_hybrid_large_block_falls_back_to_xla(compressible):
+    """Blocks past hybrid_max_bs (u16 chain-position ceiling) silently use
+    the XLA kernel and still round-trip."""
+    from divortio_lz4_tpu import FrameConfig, decompress
+    from divortio_lz4_tpu.ops.hybrid_encode import hybrid_max_bs
+    from divortio_lz4_tpu.parallel.device import device_compress_frame
+
+    bs = 262144
+    assert bs > hybrid_max_bs()
+    data = np.asarray(compressible(30000))
+    cfg = FrameConfig(block_size=bs, block_independence=True)
+    f = device_compress_frame(data, cfg, engine="hybrid")
+    assert bytes(decompress(np.array(f))) == bytes(data)
