@@ -283,11 +283,16 @@ def bench_hybrid_encode(corpus: np.ndarray, block_size: int, runs: int):
     from divortio_lz4_tpu.ops.hybrid_encode import encode_blocks_hybrid
 
     n = len(corpus)
-    nb = (n // block_size // 8) * 8
-    if nb == 0:
+    nfull = n // block_size
+    if nfull == 0:
         raise ValueError("corpus too small for hybrid encode bench")
-    work = corpus[: nb * block_size].astype(np.int32).reshape(nb, block_size)
-    lens = np.full(nb, block_size, np.int32)
+    # Pad UP to the canonical CHUNK_ROWS batch shape (zero rows encode to
+    # nothing) so every call hits the one cached compile.
+    nb = -(-nfull // CHUNK_ROWS) * CHUNK_ROWS
+    work = np.zeros((nb, block_size), np.int32)
+    work[:nfull] = corpus[: nfull * block_size].reshape(nfull, block_size)
+    lens = np.zeros(nb, np.int32)
+    lens[:nfull] = block_size
     d_work = [jax.device_put(jnp.asarray(work[i: i + CHUNK_ROWS]))
               for i in range(0, nb, CHUNK_ROWS)]
     d_lens = [jax.device_put(jnp.asarray(lens[i: i + CHUNK_ROWS]))
@@ -306,15 +311,16 @@ def bench_hybrid_encode(corpus: np.ndarray, block_size: int, runs: int):
     out0 = np.empty(block_size, np.uint8)
     assert lz4.decompress_raw(c0, out0) == block_size
     assert np.array_equal(out0, work[0].astype(np.uint8))
+    report_bytes = nfull * block_size
     ref_total = sum(
         len(np.asarray(lz4.compress_raw(work[i].astype(np.uint8))))
-        for i in range(nb))
+        for i in range(nfull))
     ts = []
     for _ in range(runs):
         t0 = time.perf_counter()
         _, total = enc()
         ts.append(time.perf_counter() - t0)
-    return nb * block_size, float(np.median(ts)), total, ref_total
+    return report_bytes, float(np.median(ts)), total, ref_total
 
 
 def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):

@@ -30,9 +30,11 @@ This module splits the work by what each engine is good at:
    emitting literals/token/offset as lane-aligned vector writes — the exact
    emission machinery pallas_encode.py compiles today.
 
-Output is decode-compatible LZ4 at a ratio <= the reference encoder's
-(exhaustive candidates + exact extension find strictly more redundancy than
-the reference's 16K hash table with skip stride); it is not byte-identical
+Output is decode-compatible LZ4 at a ratio <= the reference encoder's on
+every corpus measured (bench.py asserts it per run). The chain commits to
+the NEAREST previous occurrence; in principle the reference's stale 16K
+table can hold an older, longer match at a position the chain resolves
+short, so the bound is empirical, not structural. It is not byte-identical
 to either the reference or the XLA kernel (encode_xla's match-inheritance
 pass can pick longer matches at compacted positions). All decoder tiers and
 the golden-vector suite verify the streams.
@@ -60,6 +62,7 @@ from ..constants import (
     WINDOW_SIZE,
     block_bound,
 )
+from .pallas_decode import _vmem_helpers
 
 LANES = 128
 SLACK = 256
@@ -154,24 +157,8 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int, chain_nr: int,
     def kernel(lens_ref, words_ref, chain_ref, out_ref):
         g = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-
-        def rrow(ref, base_row, q):
-            return ref[pl.ds(base_row + q // LANES, 1), :]
-
-        def read128(ref, base_row, q):
-            s = q % LANES
-            r0 = pltpu.roll(rrow(ref, base_row, q), -s, axis=1)
-            r1 = pltpu.roll(rrow(ref, base_row, q + LANES), -s, axis=1)
-            return jnp.where(iota < LANES - s, r0, r1)
-
-        def write128(ref, base_row, q, v):
-            s = q % LANES
-            rolled = pltpu.roll(v, s, axis=1)
-            row = base_row + q // LANES
-            d0 = ref[pl.ds(row, 1), :]
-            d1 = ref[pl.ds(row + 1, 1), :]
-            ref[pl.ds(row, 1), :] = jnp.where(iota >= s, rolled, d0)
-            ref[pl.ds(row + 1, 1), :] = jnp.where(iota < s, rolled, d1)
+        # Byte-addressed VMEM primitives shared with the decode kernels.
+        read128, write128, _, _ = _vmem_helpers(iota, words_ref, None)
 
         def writebyte(ref, base_row, q, val):
             s = q % LANES
@@ -304,7 +291,7 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int, chain_nr: int,
 # pallas_decode.SMEM_STREAM_BUDGET, validated against its observed OOM).
 SMEM_CHAIN_BUDGET = 448 * 1024
 
-def hybrid_max_bs(hist_len: int = 0) -> int:
+def hybrid_max_bs() -> int:
     """Largest supported block size. The chain packs payload positions as
     u16 (pos << 16 | dist), so payloads must stay within 64 KB — which is
     also the largest LZ4 block-size tier below 256 KB, and keeps the chain
@@ -334,7 +321,7 @@ def encode_blocks_hybrid(work: jax.Array, lens: jax.Array, block_size: int,
     nb, NW = work.shape
     B = block_size
     assert NW == hist_len + B and B % 1024 == 0
-    assert B <= hybrid_max_bs(hist_len), "block too large for VMEM"
+    assert B <= hybrid_max_bs(), "block exceeds the u16 chain ceiling"
     # Accept uint8 rows: the widening to i32 lanes runs ON DEVICE, so the
     # host->device transfer ships 1 byte/byte (the tunnel/PCIe link is the
     # production path's bottleneck, measured in docs/BENCHMARKS.md).

@@ -116,7 +116,7 @@ def device_compress_frame(data,
 
     engine: "xla" (sort-based data-parallel kernel), "hybrid" (sort-based
     candidates + Pallas sequence walk — the fastest device encoder, ~18x
-    the XLA kernel per chip, ratio still < reference), or "pallas" (the
+    the XLA kernel per chip, ratio < reference on measured corpora), or "pallas" (the
     compiled greedy-scan kernel — BYTE-IDENTICAL to the reference encoder).
     "pallas" applies to independent frames without a dictionary; "hybrid"
     covers dictionaries and linked frames too, up to
@@ -338,6 +338,11 @@ def parse_block_index(buf: np.ndarray, verify_checksum: bool = True):
             saw_end = True
             break
         size = word & BLOCK_SIZE_MASK
+        # Spec: "Block Size shall not exceed Block Maximum Size". Enforcing
+        # it here also bounds the device decoders' comp-row allocation
+        # against hostile size words.
+        if size > header["block_max"]:
+            raise ValueError("LZ4: Malformed Input")
         need = size + (4 if header["block_checksums"] else 0)
         if pos + need > n:
             raise ValueError("LZ4: Malformed Input")
@@ -609,8 +614,12 @@ def _decode_independent_pallas(buf, blocks, bs, window=None) -> np.ndarray:
         [np.array(f)[: int(t)] for f, t, _ in chunks])  # writable u8
     if any_stored:
         # Stored rows were concatenated as garbage placeholders of their
-        # true size — patch them straight from the wire bytes.
+        # true size — patch them straight from the wire bytes. starts[i]
+        # indexes by GLOBAL block position: this relies on chunk padding
+        # only ever appearing after the last real block (pad rows have
+        # row_len 0, so trailing pads cannot shift any real start).
         row_lens = np.concatenate([np.asarray(rl) for _, _, rl in chunks])
+        assert len(row_lens) >= nb and not row_lens[nb:].any()
         starts = np.concatenate([[0], np.cumsum(row_lens[:-1])])
         for i, (off, size, stored) in enumerate(blocks):
             if stored:
@@ -691,7 +700,10 @@ def _decode_linked_pallas(buf, blocks, bs, window=None) -> np.ndarray:
     parts = []
     for i in range(0, nb, CH):
         rows = min(CH, nb - i)
-        target = CH if nb > CH else max(_ru(rows, 8), 8)
+        # Always pad to CH: one compiled shape per (CH, M), and the pad
+        # never exceeds the VMEM/SMEM budget the CH loop just enforced
+        # (zero-length rows decode to nothing).
+        target = CH
 
         def pad(a):
             if rows == target:

@@ -167,3 +167,59 @@ def test_device_frame_decode_truncation_fuzz(compressible):
             device_decompress_frame(np.frombuffer(base[:cut], np.uint8))
         except (ValueError, IndexError) as e:
             _assert_taxonomy(e)
+
+
+def test_pallas_frame_decode_mutation_fuzz(compressible, rng):
+    """Mutated INDEPENDENT frames through engine='pallas' (packed-SMEM
+    parse + write-bound clamps): typed rejection or bounded data, never a
+    crash or out-of-region write."""
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    base = bytes(compress_frame(
+        compressible(3000),
+        config=FrameConfig(block_size=65536, block_independence=True)))
+    for _ in range(15):
+        buf = bytearray(base)
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = device_decompress_frame(np.frombuffer(bytes(buf), np.uint8),
+                                          engine="pallas")
+            assert len(out) <= 65536  # one block's capacity
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
+
+
+def test_pallas_linked_frame_decode_mutation_fuzz(compressible, rng):
+    """Mutated LINKED frames through the chained Pallas decoder: the
+    cursor/o_limit clamps keep output bounded by the declared chain."""
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    data = np.asarray(compressible(150000))
+    base = bytes(compress_frame(
+        data, config=FrameConfig(block_size=65536,
+                                 block_independence=False)))
+    nblocks = -(-len(data) // 65536)
+    for _ in range(10):
+        buf = bytearray(base)
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = device_decompress_frame(np.frombuffer(bytes(buf), np.uint8),
+                                          engine="pallas")
+            assert len(out) <= nblocks * 65536
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
+
+
+def test_pallas_frame_decode_truncation_fuzz(compressible):
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    base = bytes(compress_frame(
+        compressible(3000),
+        config=FrameConfig(block_size=65536, block_independence=True,
+                           content_checksum=True)))
+    for cut in range(0, len(base), 29):
+        try:
+            device_decompress_frame(np.frombuffer(base[:cut], np.uint8),
+                                    engine="pallas")
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
