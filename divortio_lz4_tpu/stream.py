@@ -104,14 +104,22 @@ class LZ4Encoder:
 
     # -- block flush --------------------------------------------------------
 
-    def _flush_block(self, payload: bytes) -> bytes:
+    def _flush_block(self, payload) -> bytes:
+        """payload: np.uint8 array (zero-copy view from add) or bytes."""
+        if isinstance(payload, (bytes, bytearray)):
+            payload = np.frombuffer(bytes(payload), dtype=np.uint8)
+        n = len(payload)
         hist = b"" if self.config.block_independence else self._history
-        working = np.frombuffer(hist + payload, dtype=np.uint8)
         hist_len = len(hist)
+        if hist_len > 0:
+            working = np.empty(hist_len + n, dtype=np.uint8)
+            working[:hist_len] = np.frombuffer(hist, dtype=np.uint8)
+            working[hist_len:] = payload
+        else:
+            working = payload
         table = new_hash_table()
         if hist_len > 0:
             self._be.warm_table(table, working, hist_len)
-        n = len(payload)
         out = np.empty(4 + block_bound(n) + 4, dtype=np.uint8)
         comp = self._be.compress_block(working, out, hist_len, n, table, 4)
         if 0 < comp < n:
@@ -119,14 +127,19 @@ class LZ4Encoder:
             end = 4 + comp
         else:
             write_u32le(out, 0, n | UNCOMPRESSED_FLAG)
-            out[4: 4 + n] = working[hist_len:]
+            out[4: 4 + n] = payload
             end = 4 + n
         if self.config.block_checksums:
             write_u32le(out, end, xxhash32(out[4:end], 0))
             end += 4
         if not self.config.block_independence:
-            window = hist + payload
-            self._history = window[-WINDOW_SIZE:]
+            # Keep only the last 64 KB: for payloads >= a window the whole
+            # history is inside the payload (no need to materialize the
+            # full hist+payload just to slice its tail).
+            if n >= WINDOW_SIZE:
+                self._history = payload[-WINDOW_SIZE:].tobytes()
+            else:
+                self._history = (hist + payload.tobytes())[-WINDOW_SIZE:]
         return bytes(out[:end])
 
     # -- public API ---------------------------------------------------------
@@ -141,14 +154,29 @@ class LZ4Encoder:
             return outputs
         if self._hasher is not None:
             self._hasher.update(buf)
-        self._pending += buf.tobytes()
         if not self._header_sent:
             self._header_sent = True
             outputs.append(self._frame_header())
-        while len(self._pending) >= self._block_size:
-            payload = bytes(self._pending[: self._block_size])
-            del self._pending[: self._block_size]
-            outputs.append(self._flush_block(payload))
+        bs = self._block_size
+        pos = 0
+        if self._pending:
+            # Top the carried remainder up to one block, then flush it.
+            take = min(bs - len(self._pending), len(buf))
+            self._pending += buf[:pos + take].tobytes()
+            pos = take
+            if len(self._pending) < bs:
+                return outputs
+            outputs.append(self._flush_block(bytes(self._pending)))
+            self._pending.clear()
+        # Whole blocks encode straight from the caller's buffer (zero-copy
+        # views) — the accumulate-then-reslice copies measurably dominated
+        # streaming encode of large feeds (profiled; the reference notes
+        # the same compromise in lz4Encode.js:184-190 and keeps it).
+        while len(buf) - pos >= bs:
+            outputs.append(self._flush_block(buf[pos: pos + bs]))
+            pos += bs
+        if pos < len(buf):
+            self._pending += buf[pos:].tobytes()
         return outputs
 
     # Alias for drop-in familiarity with the reference's test-suite name.
@@ -349,15 +377,19 @@ class LZ4Decoder:
                 need = bsize + (4 if self._has_block_checksum else 0)
                 if len(self._buf) < need:
                     break
-                data = np.frombuffer(bytes(self._buf[:bsize]), dtype=np.uint8)
+                # Zero-copy view of the wire bytes; released before the
+                # buffer mutates (a bytearray cannot shrink with exported
+                # views). Stored blocks copy out, compressed blocks only
+                # ever read through it.
+                mv = memoryview(self._buf)[:bsize]
+                data = np.frombuffer(mv, dtype=np.uint8)
                 if self._has_block_checksum:
                     stored_bc = read_u32le(self._buf, bsize)
                     if self.verify_checksum and \
                             stored_bc != xxhash32(data, 0):
                         raise ValueError("LZ4: Block Checksum Error")
-                del self._buf[:need]
                 if self._block_word & UNCOMPRESSED_FLAG:
-                    chunk_out = data
+                    chunk_out = np.array(data)
                 else:
                     if self._flg & FLG_BLOCK_INDEPENDENCE:
                         # Spec semantics: an independent block's window
@@ -369,6 +401,9 @@ class LZ4Decoder:
                     n = self._be.decompress_block(
                         data, 0, bsize, self._workspace, 0, hist)
                     chunk_out = np.array(self._workspace[:n])
+                data = None
+                mv.release()
+                del self._buf[:need]
                 if self._has_content_checksum:
                     self._hasher.update(chunk_out)
                 self._update_window(chunk_out)

@@ -148,11 +148,16 @@ class XXHash32:
             self._v1, self._v2, self._v3, self._v4 = stripe(
                 self._v1, self._v2, self._v3, self._v4, words)
             self._memsize = 0
-        # Bulk stripes.
+        # Bulk stripes. Zero-copy u32 view when the slice allows it —
+        # the tobytes() fallback copies the whole segment and measurably
+        # dominated checksum-verified streaming decode (profiled).
         nstripes = (n - pos) // 16
         if nstripes > 0:
-            words = np.frombuffer(buf[pos: pos + nstripes * 16].tobytes(),
-                                  dtype="<u4")
+            seg = buf[pos: pos + nstripes * 16]
+            try:
+                words = seg.view("<u4")
+            except ValueError:  # non-contiguous or oddly-aligned slice
+                words = np.frombuffer(seg.tobytes(), dtype="<u4")
             if _native_round4 is not None:
                 self._v1, self._v2, self._v3, self._v4 = _native_round4(
                     self._v1, self._v2, self._v3, self._v4, words)
