@@ -261,7 +261,8 @@ class LZ4Decoder:
         self._buf = bytearray()
         self._state = _S_MAGIC
         self._hasher = XXHash32(0)
-        self._workspace = np.empty(BLOCK_MAX_SIZES[7], dtype=np.uint8)
+        # Per-frame output bound (refined from the header's BD byte).
+        self._block_max = BLOCK_MAX_SIZES[7]
         self._reset_frame_state()
 
     def _reset_frame_state(self):
@@ -329,6 +330,8 @@ class LZ4Decoder:
                 if len(self._buf) < hdr_len:
                     break
                 self._flg = flg
+                self._block_max = BLOCK_MAX_SIZES.get(
+                    (self._buf[1] >> 4) & 0x07, BLOCK_MAX_SIZES[7])
                 self._has_block_checksum = bool(flg & FLG_BLOCK_CHECKSUM)
                 self._has_content_size = bool(flg & FLG_CONTENT_SIZE)
                 self._has_content_checksum = bool(flg & FLG_CONTENT_CHECKSUM)
@@ -398,9 +401,12 @@ class LZ4Decoder:
                     else:
                         hist = (self._window[: self._window_pos]
                                 if self._window_pos > 0 else None)
+                    # Fresh per-block buffer: the returned chunk is a
+                    # VIEW (no copy-out), safe because nothing reuses it.
+                    dst = np.empty(self._block_max, dtype=np.uint8)
                     n = self._be.decompress_block(
-                        data, 0, bsize, self._workspace, 0, hist)
-                    chunk_out = np.array(self._workspace[:n])
+                        data, 0, bsize, dst, 0, hist)
+                    chunk_out = dst[:n]
                 data = None
                 mv.release()
                 del self._buf[:need]
