@@ -84,6 +84,16 @@ def _paths(block_size: int):
                 lambda: LZ4Worker.decompress(frame).result(), len(frame))
 
     def device(data):
+        # Production device engines: hybrid encoder + Pallas decoder
+        # (fall back internally where a shape is unsupported).
+        from divortio_lz4_tpu.parallel import (device_compress_frame,
+                                               device_decompress_frame)
+        frame = np.array(device_compress_frame(data, cfg, engine="hybrid"))
+        return (lambda: device_compress_frame(data, cfg, engine="hybrid"),
+                lambda: device_decompress_frame(frame, engine="pallas"),
+                len(frame))
+
+    def device_xla(data):
         from divortio_lz4_tpu.parallel import (device_compress_frame,
                                                device_decompress_frame)
         frame = np.array(device_compress_frame(data, cfg))
@@ -91,7 +101,7 @@ def _paths(block_size: int):
                 lambda: device_decompress_frame(frame), len(frame))
 
     paths = {"host": host, "stream": stream, "worker": worker,
-             "device": device}
+             "device": device, "device-xla": device_xla}
 
     # Comparator adapters (the reference's libs tower, benchmark/src/libs/**):
     # every codec the environment provides becomes a path — gzip/zstd/bz2/xz
