@@ -119,36 +119,54 @@ def _interpret_block(iota, io_ref, io_base, comp_ref, comp_base, comp_len,
     (blockDecompress.js:55-272 semantics) writing into io_ref starting at
     byte o_start; returns the final output cursor.
 
-    Hostile-input write bound: parsed lengths clamp so the write cursor
-    never leaves [o_start, o_limit); wild 128-byte chunk writes then spill
-    at most SLACK bytes past it. The fuzz suite drives this with garbage
-    blocks.
+    The body is STRAIGHT-LINE predicated code — no lax.cond/lax.switch per
+    sequence (measured perf-neutral vs the branched round-2 form — Mosaic
+    branches were NOT the bottleneck — but the flat form is the base the
+    ablation harness and the copy-path work build on):
+      * 0xFF-run length extensions are zero-trip while loops (the run
+        flag initializes false unless the nibble is 15);
+      * the match parse runs unconditionally — rows carry >= SLACK zero
+        padding past comp_len, so the trailing-literals sequence reads
+        zeros and its match clamps to mlen=0 / p restored;
+      * far / near / RLE match copies unify into ONE periodize-then-copy
+        path: chunk 0 periodizes the first `offset` lanes by in-register
+        doubling (zero grow iterations when offset >= 128 — identity),
+        chunks k>=1 read at dst - m*offset, m = floor((dst-cs)/offset),
+        which is exact LZ4 overlap propagation for EVERY offset >= 1.
+    Chunk-0 writes are wild (they land beyond the final frontier when
+    mlen == 0 and are overwritten by later sequences or fall in slack).
+
+    Hostile-input bounds: parsed lengths clamp so the write cursor never
+    leaves [o_start, o_limit) (wild chunk writes spill at most SLACK bytes
+    past it) and the literal read cursor stays inside the zero padding.
+    The fuzz suite drives this with garbage blocks.
     """
     read128, write128, readbyte, streambyte = helpers
+    del readbyte  # RLE is the offset==1 case of the periodized copy
 
-    def parse_ext(p, base):
-        def cond(st):
-            return st[2] == 255
+    def ext_cond(st):
+        return st[2] == 255
 
-        def body(st):
-            ln, p, _ = st
-            v = streambyte(comp_base, p)
-            return ln + v, p + 1, v
-
-        ln, p, _ = jax.lax.while_loop(
-            cond, body, (base, p, jnp.int32(255)))
-        return ln, p
+    def ext_body(st):
+        ln, p, _ = st
+        v = streambyte(comp_base, p)
+        return ln + v, p + 1, v
 
     def seq_body(st):
         p, o = st
         token = streambyte(comp_base, p)
         p = p + 1
 
-        lit_len, p = jax.lax.cond(
-            (token >> 4) == 15,
-            lambda pp: parse_ext(pp, jnp.int32(15)),
-            lambda pp: (token >> 4, pp), p)
-        lit_len = jnp.minimum(lit_len, o_limit - o)
+        # Literal length: zero-trip 0xFF-run unless the nibble is 15.
+        lit_len = token >> 4
+        lit_len, p, _ = jax.lax.while_loop(
+            ext_cond, ext_body,
+            (lit_len, p, jnp.where(lit_len == 15, 255, 0)))
+        # Clamp to the output bound AND the padded input bound (hostile
+        # lengths must not walk the read cursor off the comp row).
+        lit_len = jnp.minimum(jnp.minimum(lit_len, o_limit - o),
+                              comp_len + SLACK // 2 - p)
+        lit_len = jnp.maximum(lit_len, 0)
 
         # literals: wild 128-byte chunks
         def lit_chunk(k, _):
@@ -161,78 +179,50 @@ def _interpret_block(iota, io_ref, io_base, comp_ref, comp_base, comp_len,
         p = p + lit_len
         o = o + lit_len
 
-        def do_match(args):
-            p, o = args
-            off_lo = streambyte(comp_base, p)
-            off_hi = streambyte(comp_base, p + 1)
-            offset = off_lo + (off_hi << 8)
-            p = p + 2
-            mlen, p = jax.lax.cond(
-                (token & 15) == 15,
-                lambda pp: parse_ext(pp, jnp.int32(15)),
-                lambda pp: (token & 15, pp), p)
-            mlen = jnp.minimum(mlen + 4, o_limit - o)
-            # Hostile offsets (0, or reaching before the io region)
-            # zero the copy instead of reading out of bounds.
-            mlen = jnp.where((offset >= 1) & (offset <= o), mlen, 0)
-            offset = jnp.clip(offset, 1, jnp.maximum(o, 1))
-            cs = jnp.maximum(o - offset, 0)
-            nchunks = (mlen + LANES - 1) // LANES
+        # Match — parsed unconditionally (reads land in the zero padding
+        # when this was the trailing-literals sequence; run loop exits on
+        # the first 0 byte and mlen clamps to 0).
+        valid = p < comp_len
+        offset = streambyte(comp_base, p) + (streambyte(comp_base, p + 1) << 8)
+        p2 = p + 2
+        mlen = token & 15
+        mlen, p2, _ = jax.lax.while_loop(
+            ext_cond, ext_body,
+            (mlen, p2, jnp.where(valid & (mlen == 15), 255, 0)))
+        mlen = jnp.where(valid, jnp.minimum(mlen + 4, o_limit - o), 0)
+        # Hostile offsets (0, or reaching before the io region) zero the
+        # copy instead of reading out of bounds.
+        mlen = jnp.where((offset >= 1) & (offset <= o), mlen, 0)
+        offset = jnp.clip(offset, 1, jnp.maximum(o, 1))
+        cs = jnp.maximum(o - offset, 0)
+        nchunks = (mlen + LANES - 1) // LANES
 
-            def far(_):
-                # offset >= 128: source chunk fully written.
-                def body(k, _):
-                    write128(io_ref, io_base, o + k * LANES,
-                             read128(io_ref, io_base, cs + k * LANES))
-                    return 0
-                jax.lax.fori_loop(0, nchunks, body, 0)
-                return 0
+        # Chunk 0: periodize the first `offset` lanes of the source row
+        # (identity — zero grow iterations — when offset >= 128).
+        v0 = read128(io_ref, io_base, cs)
 
-            def near(_):
-                # 1 < offset < 128. Chunk 0: periodize the first
-                # `offset` lanes by in-register doubling, write once.
-                v0 = read128(io_ref, io_base, cs)
+        def grow(st):
+            v, wdt = st
+            v = jnp.where(iota < wdt, v, pltpu.roll(v, wdt, axis=1))
+            return v, wdt * 2
 
-                def grow(st):
-                    v, wdt = st
-                    v = jnp.where(iota < wdt, v,
-                                  pltpu.roll(v, wdt, axis=1))
-                    return v, wdt * 2
+        v, _ = jax.lax.while_loop(lambda st: st[1] < LANES, grow,
+                                  (v0, offset))
+        write128(io_ref, io_base, o, v)
 
-                v, _ = jax.lax.while_loop(
-                    lambda st: st[1] < LANES, grow, (v0, offset))
-                write128(io_ref, io_base, o, v)
+        # Chunks k>=1: read at dst - m*offset with m = floor((dst-cs)/
+        # offset): the source lies in [cs, cs+offset) mod-offset-aligned
+        # and is fully written at chunk-k time for every offset >= 1.
+        def mchunk(k, _):
+            dst = o + k * LANES
+            m = (dst - cs) // offset
+            write128(io_ref, io_base, dst,
+                     read128(io_ref, io_base, dst - m * offset))
+            return 0
 
-                # Chunks k>=1: read at dst - m*offset with m =
-                # floor((dst-cs)/offset): source lies in
-                # [cs, cs+offset) and is fully written.
-                def body(k, _):
-                    dst = o + k * LANES
-                    m = (dst - cs) // offset
-                    write128(io_ref, io_base, dst,
-                             read128(io_ref, io_base,
-                                     dst - m * offset))
-                    return 0
-                jax.lax.fori_loop(1, nchunks, body, 0)
-                return 0
-
-            def rle(_):
-                v = jnp.full((1, LANES),
-                             readbyte(io_ref, io_base, cs), jnp.int32)
-
-                def body(k, _):
-                    write128(io_ref, io_base, o + k * LANES, v)
-                    return 0
-                jax.lax.fori_loop(0, nchunks, body, 0)
-                return 0
-
-            branch = jnp.where((offset >= LANES) | (mlen == 0), 0,
-                               jnp.where(offset == 1, 2, 1))
-            jax.lax.switch(branch, [far, near, rle], 0)
-            return p, o + mlen
-
-        return jax.lax.cond(p < comp_len, do_match,
-                            lambda args: args, (p, o))
+        jax.lax.fori_loop(1, nchunks, mchunk, 0)
+        p = jnp.where(valid, p2, p)
+        return p, o + mlen
 
     p, o = jax.lax.while_loop(
         lambda st: st[0] < comp_len, seq_body,
