@@ -89,6 +89,11 @@ _lib.lz4t_decompress_frame_body_mt.argtypes = [
     ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ctypes.POINTER(ctypes.c_int64)]
 
+_lib.lz4t_scan_pieces.restype = ctypes.c_int64
+_lib.lz4t_scan_pieces.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+
 _ERRORS = {
     -1: "LZ4: Output Buffer Too Small",
     -2: "LZ4: Malformed Input",
@@ -210,6 +215,27 @@ def decompress_frame_body_native(buf: np.ndarray, pos: int, n: int,
     if rc < 0:
         raise ValueError(_ERRORS.get(rc, f"LZ4: native error {rc}"))
     return rc, int(wire_end.value)
+
+
+def scan_pieces_native(src: np.ndarray, target: int):
+    """Split a block's sequence stream at sequence boundaries into pieces of
+    >= target output bytes (see lz4t_scan_pieces). Returns int64 arrays
+    (wire_off, wire_len, out_len); raises the host error taxonomy on
+    malformed streams."""
+    src = np.ascontiguousarray(src)
+    n = len(src)
+    # Worst case one piece per sequence position is impossible: every piece
+    # except the last outputs >= target >= 4 bytes and costs >= 3 wire
+    # bytes, so n//3 + 2 bounds the count.
+    cap = n // 3 + 2
+    wo = np.empty(cap, np.int64)
+    wl = np.empty(cap, np.int64)
+    ol = np.empty(cap, np.int64)
+    rc = int(_lib.lz4t_scan_pieces(_ptr(src), n, target,
+                                   _ptr(wo), _ptr(wl), _ptr(ol), cap))
+    if rc < 0:
+        raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))
+    return wo[:rc], wl[:rc], ol[:rc]
 
 
 # --- Registration ---

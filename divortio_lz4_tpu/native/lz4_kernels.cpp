@@ -705,4 +705,59 @@ int64_t lz4t_decompress_frame_body_mt(const uint8_t* __restrict buf,
   return result_pos;
 }
 
+// Split a block's sequence stream at sequence boundaries into pieces each
+// producing >= target output bytes (except the last). O(wire) length
+// arithmetic only — the device big-block decode path feeds the pieces to
+// the chained Pallas kernel (parallel/bigblock.py). Returns the piece
+// count, ERR_MALFORMED on truncated length runs / zero offsets, or -6 when
+// max_pieces would overflow.
+int64_t lz4t_scan_pieces(const uint8_t* src, int64_t src_len, int64_t target,
+                         int64_t* wire_off, int64_t* wire_len,
+                         int64_t* out_len, int64_t max_pieces) {
+  int64_t p = 0, o = 0, ps = 0, po = 0, np_ = 0;
+  while (p < src_len) {
+    uint32_t tok = src[p++];
+    int64_t lit = tok >> 4;
+    if (lit == 15) {
+      uint32_t v;
+      do {
+        if (p >= src_len) return ERR_MALFORMED;
+        v = src[p++];
+        lit += v;
+      } while (v == 255);
+    }
+    if (p + lit > src_len) return ERR_MALFORMED;
+    p += lit;
+    o += lit;
+    if (p >= src_len) break;  // trailing-literals sequence ends the stream
+    if (p + 2 > src_len) return ERR_MALFORMED;
+    uint32_t off = (uint32_t)src[p] | ((uint32_t)src[p + 1] << 8);
+    if (off == 0) return ERR_OFFSET0;
+    p += 2;
+    int64_t ml = tok & 15;
+    if (ml == 15) {
+      uint32_t v;
+      do {
+        if (p >= src_len) return ERR_MALFORMED;
+        v = src[p++];
+        ml += v;
+      } while (v == 255);
+    }
+    o += ml + 4;
+    if (o - po >= target && p < src_len) {
+      if (np_ >= max_pieces - 1) return -6;
+      wire_off[np_] = ps;
+      wire_len[np_] = p - ps;
+      out_len[np_] = o - po;
+      np_++;
+      ps = p;
+      po = o;
+    }
+  }
+  wire_off[np_] = ps;
+  wire_len[np_] = p - ps;
+  out_len[np_] = o - po;
+  return np_ + 1;
+}
+
 }  // extern "C"

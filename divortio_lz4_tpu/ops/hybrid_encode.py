@@ -106,18 +106,38 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     invalid = ((idx + MIN_MATCH > s_end) | (idx < hist_start)
                ).astype(jnp.int32)
 
-    # Nearest previous identical word = sort predecessor (encode_xla step 2).
-    sbad, sw, si = jax.lax.sort((invalid, w, idx), num_keys=3)
-    same_as_prev = jnp.concatenate(
-        [jnp.zeros(1, bool),
-         (sw[1:] == sw[:-1]) & (sbad[1:] == 0) & (sbad[:-1] == 0)])
-    prev_in_sort = jnp.concatenate([jnp.zeros(1, jnp.int32), si[:-1]])
-    cand_sorted = jnp.where(same_as_prev, prev_in_sort, -1)
-    cand = jnp.zeros(N, jnp.int32).at[si].set(cand_sorted)
+    def nearest_prev(bad):
+        """Nearest previous identical word among non-*bad* positions = sort
+        predecessor (encode_xla step 2); -1 where none."""
+        sbad, sw, si = jax.lax.sort((bad, w, idx), num_keys=3)
+        same_as_prev = jnp.concatenate(
+            [jnp.zeros(1, bool),
+             (sw[1:] == sw[:-1]) & (sbad[1:] == 0) & (sbad[:-1] == 0)])
+        prev_in_sort = jnp.concatenate([jnp.zeros(1, jnp.int32), si[:-1]])
+        cand_sorted = jnp.where(same_as_prev, prev_in_sort, -1)
+        return jnp.zeros(N, jnp.int32).at[si].set(cand_sorted)
 
+    # Run-interior positions (word repeats within 4 bytes) are POISON
+    # sources: their extensions die at the run boundary, while the run
+    # START's extension propagates through the whole periodic region —
+    # measured 55x worse ratio on period-53 data with nearest-any
+    # candidates (the reference's stale 16K table lands period-aligned
+    # candidates by accident; docs/DESIGN.md). Chain B excludes interiors
+    # as sources (run starts stay eligible); chain A keeps every source so
+    # in-run anchors still match (any in-run distance extends to the run
+    # end). Prefer B when it exists.
+    interior = jnp.zeros(N, bool)
+    for p in (1, 2, 3, 4):
+        interior = interior.at[p:].set(interior[p:] | (w[p:] == w[:-p]))
+    cand_a = nearest_prev(invalid)
+    cand_b = nearest_prev(invalid | interior.astype(jnp.int32))
+
+    recv_ok = (idx >= hist_len) & (idx < mf_limit)
+    valid_a = (cand_a >= 0) & (idx - cand_a < WINDOW_SIZE) & recv_ok
+    valid_b = (cand_b >= 0) & (idx - cand_b < WINDOW_SIZE) & recv_ok
+    cand = jnp.where(valid_b, cand_b, cand_a)
     dist = idx - cand
-    valid = ((cand >= 0) & (dist < WINDOW_SIZE)
-             & (idx >= hist_len) & (idx < mf_limit))
+    valid = valid_a | valid_b
 
     # Payload-relative packing + reverse cummin: the minimum of
     # (pos << 16 | dist) over positions >= a is held by the nearest valid
@@ -229,7 +249,7 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int, chain_nr: int,
                 return MIN_MATCH + k
 
             def seq_step(st):
-                anchor, d, m, dist = st
+                anchor, d, m, dist, _, _ = st
                 mlen = extend(m, dist)
 
                 lit_len = m - anchor
@@ -256,12 +276,15 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int, chain_nr: int,
 
                 nanchor = m + mlen
                 nm, ndist = getchain(nanchor)
-                return nanchor, d_next, nm, ndist
+                # carry this sequence's stream start + literal anchor for
+                # the big-block boundary splicer (meta lanes 3-4)
+                return nanchor, d_next, nm, ndist, d, anchor
 
             m0, dist0 = getchain(0)
-            anchor, d, _, _ = jax.lax.while_loop(
+            anchor, d, _, _, last_d, last_anchor = jax.lax.while_loop(
                 lambda st: st[2] < mf_limit, seq_step,
-                (jnp.int32(0), jnp.int32(0), m0, dist0))
+                (jnp.int32(0), jnp.int32(0), m0, dist0,
+                 jnp.int32(-1), jnp.int32(-1)))
 
             # trailing literal run
             lit_len = src_len - anchor
@@ -273,8 +296,18 @@ def _make_kernel(rows: int, src_nr: int, out_nr: int, chain_nr: int,
                       jnp.minimum(lit_len, 15) << 4)
             d = jnp.where(src_len > 0, d_lits + lit_len, 0)
 
-            out_ref[pl.ds(out_base + out_nr - 1, 1), :] = jnp.full(
-                (1, LANES), d, jnp.int32)
+            # Meta row: lane 0 = stream length, lane 1 = trailing-token
+            # position, lane 2 = trailing literal count, lane 3 = stream
+            # offset of the last MATCH sequence (-1 if none), lane 4 = its
+            # output anchor (payload-relative). The segmented big-block
+            # splicer consumes lanes 1-4 (parallel/bigblock.py).
+            out_ref[pl.ds(out_base + out_nr - 1, 1), :] = jnp.where(
+                iota == 0, d,
+                jnp.where(iota == 1, token_pos,
+                          jnp.where(iota == 2, lit_len,
+                                    jnp.where(iota == 3, last_d,
+                                              jnp.where(iota == 4,
+                                                        last_anchor, 0)))))
 
         def row_loop(r, _):
             encode_row(r)

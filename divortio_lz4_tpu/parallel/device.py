@@ -130,10 +130,16 @@ def device_compress_frame(data,
 
         from ..ops.hybrid_encode import encode_blocks_hybrid, hybrid_max_bs
         _bs = config.resolved_block_size
-        if _bs <= hybrid_max_bs():  # else fall back to XLA
+        if _bs <= hybrid_max_bs():
             def encode_batch(w, l, hl, hs):
                 return encode_blocks_hybrid(
                     w, l, _bs, hl, hs, _jax.default_backend() != "tpu")
+        elif assemble == "host":
+            # Big blocks (256 KB / 1 MB / 4 MB incl. the reference's 4 MB
+            # default) ride the hybrid kernel as 64 KB history segments
+            # spliced into spec-exact block streams on host.
+            from .bigblock import compress_frame_big
+            return compress_frame_big(data, config, dictionary)
     if not config.block_independence:
         return _compress_linked(data, config, use_fingerprints, dictionary,
                                 encode_batch, assemble)
@@ -388,19 +394,31 @@ def device_decompress_frame(data, verify_checksum: bool = True,
             if stored != xxhash32(buf[off: off + size], 0):
                 raise ValueError("LZ4: Block Checksum Error")
 
+    result = None
     if not blocks:
         result = np.empty(0, dtype=np.uint8)
     elif (header["independent"] and engine == "pallas"
-          and decode_batch is None and _pallas_indep_fits(buf, blocks, bs,
-                                                          window)):
-        result = _decode_independent_pallas(buf, blocks, bs, window)
-    elif header["independent"]:
-        result = _decode_independent(buf, blocks, bs, decode_batch, window)
-    elif (engine == "pallas" and decode_batch is None
-          and bs <= _PALLAS_LINKED_MAX_BS):
-        result = _decode_linked_pallas(buf, blocks, bs, window)
-    else:
-        result = _decode_linked(buf, blocks, bs, window)
+          and decode_batch is None):
+        if _pallas_indep_fits(buf, blocks, bs, window):
+            result = _decode_independent_pallas(buf, blocks, bs, window)
+        else:
+            # Big blocks: piece-scan + chained Pallas kernel; None means a
+            # piece exceeded capacity (giant RLE) — fall through to XLA.
+            from .bigblock import decompress_frame_big
+            result = decompress_frame_big(buf, blocks, header, window)
+    elif (not header["independent"] and engine == "pallas"
+          and decode_batch is None and bs > _PALLAS_LINKED_MAX_BS):
+        from .bigblock import decompress_frame_big
+        result = decompress_frame_big(buf, blocks, header, window)
+    if result is None:
+        if header["independent"]:
+            result = _decode_independent(buf, blocks, bs, decode_batch,
+                                         window)
+        elif (engine == "pallas" and decode_batch is None
+              and bs <= _PALLAS_LINKED_MAX_BS):
+            result = _decode_linked_pallas(buf, blocks, bs, window)
+        else:
+            result = _decode_linked(buf, blocks, bs, window)
 
     if header["content_checksum"] and verify_checksum:
         if tail + 4 > len(buf):
