@@ -94,6 +94,12 @@ _lib.lz4t_scan_pieces.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
 
+_lib.lz4t_parse_records.restype = ctypes.c_int64
+_lib.lz4t_parse_records.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64)]
+
 _ERRORS = {
     -1: "LZ4: Output Buffer Too Small",
     -2: "LZ4: Malformed Input",
@@ -236,6 +242,31 @@ def scan_pieces_native(src: np.ndarray, target: int):
     if rc < 0:
         raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))
     return wo[:rc], wl[:rc], ol[:rc]
+
+
+def parse_records_native(src: np.ndarray, lit: np.ndarray, out_cap: int,
+                         dict_len: int = 0):
+    """Parse one block's sequence stream: place literal bytes into *lit*
+    (at their final output offsets) and return (recs u32[nrec, 2], out_len)
+    match records for the all-vector Pallas copy kernel (see
+    lz4t_parse_records). Raises the host error taxonomy on malformed
+    streams."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    assert lit.dtype == np.uint8 and lit.flags.c_contiguous
+    n = len(src)
+    # Bound: every match (>= 3 wire bytes) emits <= 7 doubling records
+    # (1+2+...+64 covers 127 bytes); everything beyond the first 127 output
+    # bytes of a match arrives as 128-byte far splits, bounded by
+    # out_cap // 128 across the whole block.
+    cap = (n // 3) * 7 + out_cap // 128 + 8
+    recs = np.empty((cap, 2), np.uint32)
+    out_len = ctypes.c_int64(0)
+    rc = int(_lib.lz4t_parse_records(
+        _ptr(src), n, _ptr(lit), out_cap, _ptr(recs), cap, dict_len,
+        ctypes.byref(out_len)))
+    if rc < 0:
+        raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))
+    return recs[:rc], int(out_len.value)
 
 
 # --- Registration ---

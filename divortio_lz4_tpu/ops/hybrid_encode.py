@@ -106,16 +106,67 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     invalid = ((idx + MIN_MATCH > s_end) | (idx < hist_start)
                ).astype(jnp.int32)
 
+    # Prefix-fingerprint scoring: h_d[p] hashes the WHOLE range [p, p+d)
+    # (polynomial rolling hash, the encode_xla.py LCE machinery), so a
+    # candidate's sampled LCE is the longest d with equal fingerprints —
+    # contiguous coverage, no blind spots (word samples at sparse offsets
+    # missed single-byte mutations between samples; measured on the
+    # period-53 trap corpus). Carried through the sort as VALUE operands —
+    # no gathers. A hash collision only inflates a score; the walk computes
+    # the true extension. Equality with the zero padding past s_end only
+    # affects scores of tail positions the walk clamps anyway.
+    from .encode_xla import _B1, _B1_INV, _pows
+    SAMPLE_D = (8, 16, 32, 64, 128, 256)
+    inv1 = _pows(_B1_INV, N + 1)
+    pw1 = _pows(_B1, N + 1)
+    c1 = jnp.concatenate([jnp.zeros(1, jnp.uint32),
+                          jnp.cumsum(b.astype(jnp.uint32) * inv1[:N],
+                                     dtype=jnp.uint32)])
+
+    def _range_hash(d):
+        hi = jnp.concatenate([c1[d:], jnp.zeros(max(d - 1, 0), jnp.uint32)])
+        return (hi[:N] - c1[:N]) * pw1[:N]
+
+    samples = tuple(_range_hash(d) for d in SAMPLE_D)
+    # Which sort-predecessors to score. The nearest previous occurrence is
+    # NOT always the best source: on mutated-periodic data the reference's
+    # stale 16K table lands on mutation-phase-aligned sources whose matches
+    # extend THROUGH the mutations (measured 1.34x worse than the reference
+    # with nearest-only on period-53 + mutation-every-200 corpora — the
+    # adversarial ratio gate in tests/test_hybrid_encode.py pins this).
+    PREDS = (1, 2, 3, 4, 6, 8)
+
     def nearest_prev(bad):
-        """Nearest previous identical word among non-*bad* positions = sort
-        predecessor (encode_xla step 2); -1 where none."""
-        sbad, sw, si = jax.lax.sort((bad, w, idx), num_keys=3)
-        same_as_prev = jnp.concatenate(
-            [jnp.zeros(1, bool),
-             (sw[1:] == sw[:-1]) & (sbad[1:] == 0) & (sbad[:-1] == 0)])
-        prev_in_sort = jnp.concatenate([jnp.zeros(1, jnp.int32), si[:-1]])
-        cand_sorted = jnp.where(same_as_prev, prev_in_sort, -1)
-        return jnp.zeros(N, jnp.int32).at[si].set(cand_sorted)
+        """Best previous identical-word position among non-*bad* positions:
+        the sort predecessor at distance k in {1,2,3,4,6,8} with the
+        longest sampled LCE (ties -> nearest); -1 where none."""
+        sorted_ops = jax.lax.sort((bad, w, idx) + samples, num_keys=3)
+        sbad, sw, si = sorted_ops[:3]
+        ss = sorted_ops[3:]
+        good = sbad == 0
+
+        def shifted(a, k):
+            return jnp.concatenate([jnp.zeros(k, a.dtype), a[:-k]])
+
+        best_key = jnp.full(N, -1, jnp.int32)
+        best_cand = jnp.full(N, -1, jnp.int32)
+        for k in PREDS:
+            pw = shifted(sw, k)
+            pi = shifted(si, k)
+            pgood = shifted(good.astype(jnp.int32), k) > 0
+            dist = si - pi
+            ok = good & pgood & (pw == sw) & (dist < WINDOW_SIZE)
+            # approximate LCE: longest run of equal samples from d=4 up
+            sc = jnp.full(N, 4, jnp.int32)
+            m = jnp.ones(N, bool)
+            for d, s in zip(SAMPLE_D, ss):
+                m = m & (shifted(s, k) == s)
+                sc = sc + jnp.where(m, d, 0)
+            key = jnp.where(ok, sc * 16 + (15 - k), -1)
+            better = key > best_key
+            best_key = jnp.where(better, key, best_key)
+            best_cand = jnp.where(better, pi, best_cand)
+        return jnp.zeros(N, jnp.int32).at[si].set(best_cand)
 
     # Run-interior positions (word repeats within 4 bytes) are POISON
     # sources: their extensions die at the run boundary, while the run

@@ -113,7 +113,10 @@ def scan_pieces(src: np.ndarray, target: int = PIECE_TARGET):
     src = np.ascontiguousarray(src, dtype=np.uint8)
     try:
         from ..native import scan_pieces_native
-    except ImportError:
+    except Exception:
+        # Match the package-level guard (divortio_lz4_tpu/__init__.py): a
+        # native toolchain failure re-raises as CalledProcessError /
+        # FileNotFoundError from _build() on re-import, not ImportError.
         scan_pieces_native = None
     if scan_pieces_native is not None:
         return scan_pieces_native(src, target)
@@ -533,11 +536,14 @@ def compress_frame_big(data,
 # Decode: piece scan + chained Pallas kernel
 # --------------------------------------------------------------------------
 
-def _plan_pieces(buf: np.ndarray, blocks):
+def _plan_pieces(buf: np.ndarray, blocks, block_max: int):
     """Piece lists per block: [(abs_off, wire_len, out_len, stored), ...].
 
     Returns None when any piece exceeds PIECE_CAP (giant-RLE fallback).
-    """
+    Raises the host taxonomy when a block's TOTAL decoded output exceeds
+    the frame's declared block size (a hostile few-KB frame of RLE
+    sequences must not silently decode far past the BD bound — the host
+    tier raises the same error)."""
     plan = []
     for off, size, stored in blocks:
         pieces = []
@@ -547,6 +553,8 @@ def _plan_pieces(buf: np.ndarray, blocks):
                 pieces.append((off + s, ln, ln, True))
         else:
             wo, wl, ol = scan_pieces(buf[off: off + size])
+            if int(ol.sum()) > block_max:
+                raise ValueError("LZ4: Output Buffer Too Small")
             if int(ol.max(initial=0)) > PIECE_CAP:
                 return None
             for k in range(len(wo)):
@@ -612,7 +620,7 @@ def decompress_frame_big(buf: np.ndarray, blocks, header,
     import jax
     import jax.numpy as jnp
 
-    plan = _plan_pieces(buf, blocks)
+    plan = _plan_pieces(buf, blocks, header["block_max"])
     if plan is None:
         return None
     interpret = jax.default_backend() != "tpu"

@@ -144,3 +144,57 @@ def test_hybrid_large_block_falls_back_to_xla(compressible):
     cfg = FrameConfig(block_size=bs, block_independence=True)
     f = device_compress_frame(data, cfg, engine="hybrid")
     assert bytes(decompress(np.array(f))) == bytes(data)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial ratio gate (VERDICT r2 weak #4): the hybrid chain commits to
+# the NEAREST previous occurrence; the reference's stale 16K table can in
+# principle hold an older longer match, so `<= reference` is empirical.
+# These corpora pin the known failure classes as a regression fence —
+# period-53 data was measured 55x WORSE before the run-interior poison fix
+# (ops/hybrid_encode.py chain B).
+# ---------------------------------------------------------------------------
+
+def _adversarial_cases(rng):
+    base53 = rng.integers(0, 256, 53, dtype=np.uint8)
+    cases = {
+        # the period-53 trap (run-interior poison sources)
+        "period53": np.tile(base53, 16000 // 53 + 1)[:16000],
+        # small power-of-two periods: hash-aligned repeats
+        "period4": np.tile(np.arange(4, dtype=np.uint8), 4000),
+        "period8": np.tile(np.arange(8, dtype=np.uint8), 2000),
+        "period64": np.tile(rng.integers(0, 256, 64, dtype=np.uint8), 250),
+        # run-heavy: alternating long RLE runs of different bytes
+        "runs": np.repeat(rng.integers(0, 256, 64, dtype=np.uint8), 250),
+        # aligned repeats of a 256-byte page with single-byte perturbations
+        "aligned_pages": None,
+        # RLE runs split by incompressible spacers
+        "runs_spacers": None,
+        # near-periodic: period 53 with a mutation every 200 bytes
+        "period53_mut": None,
+    }
+    page = rng.integers(0, 256, 256, dtype=np.uint8)
+    pages = np.tile(page, 60)
+    pages[::257] ^= 1
+    cases["aligned_pages"] = pages
+    parts = []
+    for k in range(40):
+        parts.append(np.full(300, k, np.uint8))
+        parts.append(rng.integers(0, 256, 37, dtype=np.uint8))
+    cases["runs_spacers"] = np.concatenate(parts)
+    p53 = np.tile(base53, 300)[:15000].copy()
+    p53[::200] ^= 0xFF
+    cases["period53_mut"] = p53
+    return cases
+
+
+@pytest.mark.parametrize("name", ["period53", "period4", "period8",
+                                  "period64", "runs", "aligned_pages",
+                                  "runs_spacers", "period53_mut"])
+def test_hybrid_adversarial_ratio_gate(name, rng):
+    data = _adversarial_cases(rng)[name]
+    comp = encode_block_hybrid_host(data)
+    _roundtrip(data, comp)
+    ref = np.asarray(compress_raw(data))
+    assert len(comp) <= len(ref), \
+        f"{name}: hybrid {len(comp)} > reference {len(ref)}"
