@@ -167,9 +167,9 @@ def bench_device(corpus: np.ndarray, block_size: int, runs: int):
 def bench_device_frames(corpus: np.ndarray, block_size: int, runs: int):
     """END-TO-END device codec path with the production engines: frame
     encode via engine='hybrid' (XLA chain + Pallas walk), frame decode via
-    engine='pallas' (scalar-interpreter kernel). Includes host<->device
-    transfers, block-index scan, and on-device frame assembly — the real
-    offload path, not a kernel microbench."""
+    engine='split' (host record parse + interleaved copy kernel). Includes
+    host<->device transfers, block-index scan, and frame assembly — the
+    real offload path, not a kernel microbench."""
     import jax
 
     import divortio_lz4_tpu as lz4
@@ -189,7 +189,7 @@ def bench_device_frames(corpus: np.ndarray, block_size: int, runs: int):
         t_enc.append(time.perf_counter() - t0)
 
     def dec():
-        return device_decompress_frame(frame, engine="pallas")
+        return device_decompress_frame(frame, engine="split")
 
     out = dec()
     ok = np.array_equal(np.asarray(out), corpus)
@@ -202,24 +202,28 @@ def bench_device_frames(corpus: np.ndarray, block_size: int, runs: int):
             jax.devices()[0].platform)
 
 
-def bench_pallas_decode(corpus: np.ndarray, block_size: int, runs: int):
-    """Decode-only figure for the Pallas interpreter kernel (stderr detail).
+def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
+    """Decode figures for the split path (host record parse + interleaved
+    all-vector copy kernel, ops/pallas_split_decode.py).
 
-    Blocks are host-encoded (reference-identical bytes), then decoded on
-    device in 64-row batches.
+    Blocks are host-encoded (reference-identical bytes). Reports BOTH a
+    single-dispatch wall time (includes this host link's ~30 ms fixed
+    dispatch+sync round trip — the realistic per-call figure on the
+    tunneled chip) and an AMORTIZED kernel rate (R queued repetitions, one
+    sync — the figure a normal PCIe host sees). Returns
+    (bytes, t_single, t_kernel_amortized, t_parse).
     """
     import jax
     import jax.numpy as jnp
 
     import divortio_lz4_tpu as lz4
-    from divortio_lz4_tpu.ops.pallas_decode import (
-        SLACK, _round_up, decode_blocks_pallas)
-    from divortio_lz4_tpu.constants import WINDOW_SIZE
+    from divortio_lz4_tpu.ops.pallas_split_decode import (
+        decode_blocks_split, parse_block_batch, plan_ways)
 
     n = len(corpus)
     nfull = n // block_size
     if nfull == 0:
-        raise ValueError("corpus too small for pallas bench")
+        raise ValueError("corpus too small for split bench")
     comps = []
     plains = []
     for i in range(nfull):
@@ -230,45 +234,59 @@ def bench_pallas_decode(corpus: np.ndarray, block_size: int, runs: int):
         if len(c) < block_size:
             comps.append(c)
             plains.append(i)
-    nb = (len(comps) // 8) * 8  # kernel row granularity
-    if nb == 0:
+    if not comps:
         raise ValueError("corpus has no compressible blocks")
-    comps, plains = comps[:nb], plains[:nb]
-    # pow2 bucket keeps the compile cache warm across corpus sizes
-    M = 1024
-    while M < max(len(c) for c in comps) + SLACK:
-        M <<= 1
-    comp = np.zeros((nb, M), np.int32)
-    lens = np.zeros(nb, np.int32)
-    for i, c in enumerate(comps):
-        comp[i, : len(c)] = c
-        lens[i] = len(c)
-    hist = jnp.zeros((CHUNK_ROWS, WINDOW_SIZE), jnp.int32)
-    d_comp = [jax.device_put(jnp.asarray(comp[i: i + CHUNK_ROWS]))
-              for i in range(0, nb, CHUNK_ROWS)]
-    d_lens = [jax.device_put(jnp.asarray(lens[i: i + CHUNK_ROWS]))
-              for i in range(0, nb, CHUNK_ROWS)]
 
-    def dec():
-        res = [decode_blocks_pallas(c, l, hist, block_size, False, False)
-               for c, l in zip(d_comp, d_lens)]
-        return res, sum(int(jnp.sum(ol)) for _, ol in res)
+    t0 = time.perf_counter()
+    lit, recs, counts, out_lens, uh = parse_block_batch(comps, block_size)
+    t_parse = time.perf_counter() - t0
 
-    res, total = dec()
-    assert total == nb * block_size, (total, nb * block_size)
-    # spot-verify the first decoded block bit-exact
-    out0 = np.asarray(res[0][0])
-    b0 = plains[0]
-    assert np.array_equal(
-        out0[0].astype(np.uint8),
-        corpus[b0 * block_size: (b0 + 1) * block_size])
-    ts = []
+    ways = plan_ways(recs.shape[1], lit.shape[1])
+    order = np.argsort(counts, kind="stable")
+    pad = (-len(order)) % ways
+    order_p = np.concatenate([order, np.full(pad, order[-1], np.int64)]) \
+        if pad else order
+    nsteps = len(order_p) // ways
+    counts_s = counts[order_p]
+    trips = np.array([int(counts_s[g * ways:(g + 1) * ways].max())
+                      for g in range(nsteps)], np.int32)
+    d_lit = jax.device_put(jnp.asarray(lit[order_p]))
+    d_recs = jax.device_put(jnp.asarray(recs[order_p]))
+    d_trips = jax.device_put(jnp.asarray(trips))
+
+    def dec(reps=1):
+        outs = [decode_blocks_split(d_lit, d_recs, d_trips, block_size,
+                                    uh, False) for _ in range(reps)]
+        return outs[-1]
+
+    out = dec()
+    _ = int(jnp.sum(out[0, :16]))  # hard sync
+    # verify bit-exact (every block)
+    out_np = np.asarray(out).astype(np.uint8)
+    nb = len(comps)
+    for k in range(len(order_p)):
+        b = order_p[k]
+        assert np.array_equal(
+            out_np[k][: int(out_lens[b])],
+            corpus[plains[b] * block_size:
+                   plains[b] * block_size + int(out_lens[b])]), k
+
+    R = 6
+    ts1, tsR = [], []
     for _ in range(runs):
         t0 = time.perf_counter()
-        _, total = dec()
-        ts.append(time.perf_counter() - t0)
-    t = float(np.median(ts))
-    return nb * block_size, t
+        out = dec()
+        _ = int(jnp.sum(out[0, :16]))
+        ts1.append(time.perf_counter() - t0)
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = dec(R)
+        _ = int(jnp.sum(out[0, :16]))
+        tsR.append(time.perf_counter() - t0)
+    t1 = float(np.median(ts1))
+    tR = float(np.median(tsR))
+    kern = max((tR - t1) / (R - 1), 1e-9)
+    return nb * block_size, t1, kern, t_parse
 
 
 def bench_hybrid_encode(corpus: np.ndarray, block_size: int, runs: int):
@@ -372,6 +390,32 @@ def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):
     return nb * block_size, float(np.median(ts)), total
 
 
+def bench_device_bigblock(corpus: np.ndarray, runs: int):
+    """Device tier at the reference's DEFAULT config (4 MB blocks,
+    bufferCompress.js:100): segmented encode (parallel/bigblock.py) +
+    piece-chained Pallas decode. Returns (t_enc, t_dec, comp_len, ok)."""
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.parallel.bigblock import compress_frame_big
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    cfg = lz4.FrameConfig(block_size=4194304, block_independence=True)
+    frame = compress_frame_big(corpus, cfg)  # compile + warm
+    t_enc = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        frame = compress_frame_big(corpus, cfg)
+        t_enc.append(time.perf_counter() - t0)
+    out = device_decompress_frame(frame, engine="pallas")
+    ok = np.array_equal(np.asarray(out), corpus)
+    t_dec = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        device_decompress_frame(frame, engine="pallas")
+        t_dec.append(time.perf_counter() - t0)
+    return (float(np.median(t_enc)), float(np.median(t_dec)), len(frame),
+            ok)
+
+
 def bench_host(corpus: np.ndarray, block_size: int, runs: int):
     import divortio_lz4_tpu as lz4
     cfg = lz4.FrameConfig(block_size=block_size, block_independence=True)
@@ -454,21 +498,27 @@ def main():
         raise _Timeout()
 
     dev_rt, dev_ok = 0.0, True
+    extra = {}
     if not args.host:
         dev_size = min(size, int(args.device_size_mb * 1e6))
         signal.signal(signal.SIGALRM, _alarm)
-        # Pallas tier first: compiles in seconds, gives a device figure
-        # even when the XLA tier's compile would blow the budget.
+        # Split-decode tier first: compiles in minutes, gives the headline
+        # device-decode figure even if later tiers blow the budget.
         try:
             signal.alarm(args.device_budget_s // 3)
-            pb, pt = bench_pallas_decode(corpus[:dev_size], args.block,
-                                         max(args.runs // 2, 1))
-            print(f"bench[device-pallas-decode/tpu]: {pb / 1e6:.0f}MB in "
-                  f"{pt * 1e3:.0f} ms = {pb / pt / 1e6:.1f} MB/s "
-                  f"(scalar-interpreter kernel, decode only)",
-                  file=sys.stderr)
+            pb, pt1, ptk, ptp = bench_split_decode(
+                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+            print(f"bench[device-split-decode/tpu]: {pb / 1e6:.0f}MB "
+                  f"kernel {ptk * 1e3:.1f} ms = {pb / ptk / 1e6:.1f} MB/s "
+                  f"amortized ({pb / pt1 / 1e6:.1f} MB/s single-dispatch "
+                  f"incl. ~30 ms tunnel link; host parse "
+                  f"{ptp * 1e3:.1f} ms)", file=sys.stderr)
+            extra["device_split_decode_kernel_mbps"] = round(
+                pb / ptk / 1e6, 1)
+            extra["device_split_decode_single_mbps"] = round(
+                pb / pt1 / 1e6, 1)
         except (_Timeout, Exception) as e:
-            print(f"bench: pallas decode tier skipped ({e!r})",
+            print(f"bench: split decode tier skipped ({e!r})",
                   file=sys.stderr)
         finally:
             signal.alarm(0)
@@ -481,13 +531,15 @@ def main():
                   f"({hcomp} B out, {hcomp / href:.4f}x vs reference "
                   f"encoder {'OK' if hcomp <= href else 'REGRESSION'})",
                   file=sys.stderr)
+            extra["device_hybrid_encode_mbps"] = round(hb / ht / 1e6, 1)
+            extra["device_ratio_vs_reference"] = round(hcomp / href, 4)
         except (_Timeout, Exception) as e:
             print(f"bench: hybrid encode tier skipped ({e!r})",
                   file=sys.stderr)
         finally:
             signal.alarm(0)
         # Headline device tier: the production frame path on its best
-        # engines (hybrid encode + pallas decode), end to end.
+        # engines (hybrid encode + split decode), end to end.
         try:
             signal.alarm(args.device_budget_s // 3)
             dev_corpus = corpus[:dev_size]
@@ -495,12 +547,36 @@ def main():
             dev_res = bench_device_frames(dev_corpus, args.block,
                                           max(args.runs // 2, 1))
             dev_rt, dev_ok = report("device", dev_res, dev_size, dev_ref_len)
+            extra["device_enc_gbps"] = round(
+                dev_size / 1e9 / dev_res[0], 4)
+            extra["device_dec_gbps"] = round(
+                dev_size / 1e9 / dev_res[1], 4)
         except _Timeout:
             print("bench: device frame tier skipped (compile budget "
                   "exceeded)", file=sys.stderr)
         except Exception as e:
             print(f"bench: device path failed ({e!r})", file=sys.stderr)
             dev_ok = False
+        finally:
+            signal.alarm(0)
+        # Reference-default config on device: 4 MB blocks through the
+        # big-block router (segment+splice encode, piece-chain decode).
+        try:
+            signal.alarm(args.device_budget_s // 3)
+            bt_enc, bt_dec, bcomp, bok = bench_device_bigblock(
+                corpus[:dev_size], max(args.runs // 2, 1))
+            print(f"bench[device-bigblock/tpu]: {dev_size / 1e6:.0f}MB, "
+                  f"block=4194304: enc {dev_size / bt_enc / 1e6:.1f} MB/s, "
+                  f"dec {dev_size / bt_dec / 1e6:.1f} MB/s, compressed "
+                  f"{bcomp}, bit-exact={'yes' if bok else 'NO'}",
+                  file=sys.stderr)
+            extra["device_bigblock_enc_mbps"] = round(
+                dev_size / bt_enc / 1e6, 1)
+            extra["device_bigblock_dec_mbps"] = round(
+                dev_size / bt_dec / 1e6, 1)
+            dev_ok = dev_ok and bok
+        except (_Timeout, Exception) as e:
+            print(f"bench: bigblock tier skipped ({e!r})", file=sys.stderr)
         finally:
             signal.alarm(0)
         # Secondary: the all-XLA data-parallel kernels (informational —
@@ -559,15 +635,25 @@ def main():
                           "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0}))
         return
 
-    print(json.dumps({
+    t_enc_h, t_dec_h, comp_h, _, _ = host_res
+    rec = {
         "metric": ("encode+decode GB/s, silesia-like mix, 64KB blocks, "
-                   "host C++ tier (TPU-kernel + reference-config figures "
-                   "on stderr); vs_baseline measured on the reference's "
-                   "own corpus+config vs its published 235.6 MB/s"),
+                   "host C++ tier (structured per-tier fields alongside; "
+                   "device kernel figures are MB/s/chip); vs_baseline "
+                   "measured on the reference's own corpus+config vs its "
+                   "published 235.6 MB/s"),
         "value": round(host_rt, 4),
         "unit": "GB/s",
         "vs_baseline": round(ref_rt / baseline_rt_gbps, 2),
-    }))
+        "host_roundtrip_gbps": round(host_rt, 4),
+        "host_enc_gbps": round(gb / t_enc_h, 4),
+        "host_dec_gbps": round(gb / t_dec_h, 4),
+        "host_ratio_vs_reference": round(comp_h / ref_frame_len, 4),
+        "device_roundtrip_gbps": round(dev_rt, 4),
+        "refcfg_roundtrip_gbps": round(ref_rt, 4),
+    }
+    rec.update(extra)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

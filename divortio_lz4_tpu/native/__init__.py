@@ -100,6 +100,11 @@ _lib.lz4t_parse_records.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
     ctypes.POINTER(ctypes.c_int64)]
 
+_lib.lz4t_serialize_records.restype = ctypes.c_int64
+_lib.lz4t_serialize_records.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p]
+
 _ERRORS = {
     -1: "LZ4: Output Buffer Too Small",
     -2: "LZ4: Malformed Input",
@@ -267,6 +272,20 @@ def parse_records_native(src: np.ndarray, lit: np.ndarray, out_cap: int,
     if rc < 0:
         raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))
     return recs[:rc], int(out_len.value)
+
+
+def serialize_records_native(payload: np.ndarray, recs: np.ndarray,
+                             out: np.ndarray) -> int:
+    """Serialize split-encoder match records into one LZ4 block stream
+    (see lz4t_serialize_records); returns bytes written into *out*."""
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    recs = np.ascontiguousarray(recs, dtype=np.uint32)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    rc = int(_lib.lz4t_serialize_records(
+        _ptr(payload), len(payload), _ptr(recs), recs.size // 2, _ptr(out)))
+    if rc < 0:
+        raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))
+    return rc
 
 
 # --- Registration ---

@@ -867,4 +867,61 @@ int64_t lz4t_parse_records(const uint8_t* src, int64_t src_len, uint8_t* lit,
   return nrec;
 }
 
+// Serialize the split encoder's match records into one LZ4 block stream
+// (ops/split_encode.py). recs[2k] = dist | (mlen << 16), recs[2k+1] =
+// lit_len (literals precede the match, taken from payload at the running
+// anchor). Consecutive records with lit_len == 0 and the same dist MERGE
+// into one sequence (the device walk emits 128-byte match continuations;
+// merging is always valid LZ4 — and shorter). Records with mlen == 0
+// contribute nothing (zero-length continuations). The trailing literal
+// run [anchor, src_len) is appended with a literal-only token. Returns
+// bytes written, or ERR_MALFORMED on a (kernel-bug) standalone short
+// match.
+int64_t lz4t_serialize_records(const uint8_t* payload, int64_t src_len,
+                               const uint32_t* recs, int64_t nrec,
+                               uint8_t* out) {
+  int64_t anchor = 0, d = 0, k = 0;
+  while (k < nrec) {
+    int64_t dist = recs[2 * k] & 0xFFFF;
+    int64_t mlen = recs[2 * k] >> 16;
+    int64_t lit = recs[2 * k + 1];
+    k++;
+    while (k < nrec && recs[2 * k + 1] == 0 &&
+           (int64_t)(recs[2 * k] & 0xFFFF) == dist) {
+      mlen += recs[2 * k] >> 16;  // match continuation
+      k++;
+    }
+    if (mlen == 0 && lit == 0) continue;  // zero-length continuation head
+    if (mlen < MIN_MATCH || dist == 0) return ERR_MALFORMED;
+    int64_t mcode = mlen - MIN_MATCH;
+    uint8_t token = (uint8_t)((lit < 15 ? lit : 15) << 4
+                              | (mcode < 15 ? mcode : 15));
+    out[d++] = token;
+    if (lit >= 15) {
+      int64_t rem = lit - 15;
+      while (rem >= 255) { out[d++] = 255; rem -= 255; }
+      out[d++] = (uint8_t)rem;
+    }
+    std::memcpy(out + d, payload + anchor, (size_t)lit);
+    d += lit;
+    anchor += lit + mlen;
+    out[d++] = (uint8_t)(dist & 0xFF);
+    out[d++] = (uint8_t)(dist >> 8);
+    if (mcode >= 15) {
+      int64_t rem = mcode - 15;
+      while (rem >= 255) { out[d++] = 255; rem -= 255; }
+      out[d++] = (uint8_t)rem;
+    }
+  }
+  int64_t lit = src_len - anchor;
+  out[d++] = (uint8_t)((lit < 15 ? lit : 15) << 4);
+  if (lit >= 15) {
+    int64_t rem = lit - 15;
+    while (rem >= 255) { out[d++] = 255; rem -= 255; }
+    out[d++] = (uint8_t)rem;
+  }
+  std::memcpy(out + d, payload + anchor, (size_t)lit);
+  return d + lit;
+}
+
 }  // extern "C"

@@ -125,6 +125,13 @@ def device_compress_frame(data,
     """
     if use_fingerprints is None:
         use_fingerprints = config.favor_ratio
+    if engine == "split" and encode_batch is None:
+        from ..ops.hybrid_encode import hybrid_max_bs
+        _bs = config.resolved_block_size
+        if config.block_independence and _bs <= hybrid_max_bs():
+            return _compress_independent_split(data, config, dictionary)
+        # Linked frames / big blocks: the hybrid machinery covers them.
+        engine = "hybrid"
     if engine == "hybrid" and encode_batch is None:
         import jax as _jax
 
@@ -207,6 +214,109 @@ def device_compress_frame(data,
                                      hist_start)
     return _host_assemble(raw, outs, out_lens, lens, nblocks, bs, config,
                           dict_id)
+
+
+def _compress_independent_split(data, config: FrameConfig,
+                                dictionary=None) -> np.ndarray:
+    """Independent-frame encode via the split path (ops/split_encode): the
+    device walks chains and emits match RECORDS; the native host serializer
+    turns records into spec byte streams at GB/s. Overflowed blocks (record
+    cap exceeded — pathological many-sequence data) fall back to the
+    reference-identical host encoder for that block; stored fallback and
+    frame assembly as the host tier."""
+    from ..backends import get_backend
+    from ..ops.split_encode import serialize_block, walk_blocks_split
+
+    raw = ensure_buffer(data)
+    n = len(raw)
+    bs = config.resolved_block_size
+    work, lens, nblocks = _blocks_to_batch(raw, bs)
+    window, dict_id = _dict_window(dictionary)
+    if window is not None:
+        hist_len = WINDOW_SIZE
+        hist_start = WINDOW_SIZE - len(window)
+        hist_block = np.zeros((nblocks, WINDOW_SIZE), np.uint8)
+        hist_block[:, hist_start:] = window
+        work = np.concatenate([hist_block, work], axis=1)
+    else:
+        hist_len = 0
+        hist_start = 0
+    import jax as _jax
+    interpret = _jax.default_backend() != "tpu"
+
+    CH = _FRAME_CHUNK_ROWS
+    comps = [None] * nblocks
+    pend = []
+    for i in range(0, nblocks, CH):
+        rows = min(CH, nblocks - i)
+        target = CH if nblocks > CH else _chunk_rows_bucket(rows)
+        w = work[i: i + rows]
+        l = lens[i: i + rows]
+        if rows < target:
+            w = np.concatenate(
+                [w, np.zeros((target - rows,) + w.shape[1:], w.dtype)])
+            l = np.concatenate([l, np.zeros(target - rows, np.int32)])
+        recs, meta = walk_blocks_split(
+            jnp.asarray(w), jnp.asarray(l), bs, hist_len, hist_start,
+            interpret)
+        pend.append((i, rows, recs, meta))
+    backend = get_backend()
+    table = np.zeros(16384, np.int32)
+    for i, rows, recs, meta in pend:
+        recs_np = np.asarray(recs)
+        meta_np = np.asarray(meta)
+        for k in range(rows):
+            b = i + k
+            payload = raw[b * bs: b * bs + int(lens[b])]
+            if meta_np[k, 2]:  # record-cap overflow: host fallback
+                dst = np.empty(len(payload) + len(payload) // 255 + 64,
+                               np.uint8)
+                if window is not None:
+                    wk = np.concatenate([window, payload])
+                    table[:] = 0
+                    backend.warm_table(table, wk, len(window))
+                    nw = backend.compress_block(
+                        wk, dst, len(window), len(payload), table, 0)
+                else:
+                    table[:] = 0
+                    nw = backend.compress_block(
+                        payload, dst, 0, len(payload), table, 0)
+                comps[b] = dst[:nw]
+            else:
+                comps[b] = serialize_block(payload, recs_np[k],
+                                           int(meta_np[k, 0]))
+
+    # Frame assembly (host): header / size words / stored fallback / EndMark
+    frame = np.empty(19 + n + (n // 255) + 16 * max(nblocks, 1) + 8,
+                     np.uint8)
+    header = _frame_header_bytes(config, n, dict_id)
+    frame[: len(header)] = header
+    pos = len(header)
+    for b in range(nblocks):
+        bsize = int(lens[b])
+        comp = comps[b]
+        clen = len(comp)
+        if 0 < clen < bsize:
+            write_u32le(frame, pos, clen)
+            pos += 4
+            frame[pos: pos + clen] = comp
+            pos += clen
+            data_start = pos - clen
+        else:
+            write_u32le(frame, pos, bsize | UNCOMPRESSED_FLAG)
+            pos += 4
+            frame[pos: pos + bsize] = raw[b * bs: b * bs + bsize]
+            pos += bsize
+            data_start = pos - bsize
+        if config.block_checksums:
+            write_u32le(frame, pos, xxhash32(frame[data_start:pos], 0))
+            pos += 4
+    write_u32le(frame, pos, 0)
+    pos += 4
+    if config.content_checksum:
+        write_u32le(frame, pos, xxhash32(raw, 0))
+        pos += 4
+    return frame[:pos]
 
 
 # Device-dispatch granularity for the frame paths: fixed-shape chunks keep
@@ -368,9 +478,11 @@ def device_decompress_frame(data, verify_checksum: bool = True,
     Independent frames decode fully data-parallel. Linked frames decode as a
     sequential chain of device calls carrying the 64 KB window.
 
-    engine: "xla" (two-phase data-parallel kernel) or "pallas" (the
-    scalar-interpreter kernel — ~11x faster per chip, see
-    ops/pallas_decode.py). Applies to independent frames.
+    engine: "xla" (two-phase data-parallel kernel), "pallas" (the
+    scalar-interpreter kernel, ops/pallas_decode.py), or "split" (host
+    record parse + interleaved all-vector copy kernel,
+    ops/pallas_split_decode.py — the fastest per chip; falls back to the
+    pallas machinery for linked frames and >256 KB blocks).
 
     A frame built with a dictionary (FLG dictID set) REQUIRES *dictionary*
     and verifies its xxh32 id — matching the stream decoder's strictness
@@ -397,7 +509,10 @@ def device_decompress_frame(data, verify_checksum: bool = True,
     result = None
     if not blocks:
         result = np.empty(0, dtype=np.uint8)
-    elif (header["independent"] and engine == "pallas"
+    elif (header["independent"] and engine == "split"
+          and decode_batch is None and bs <= _SPLIT_MAX_BS):
+        result = _decode_independent_split(buf, blocks, bs, window)
+    elif (header["independent"] and engine in ("pallas", "split")
           and decode_batch is None):
         if _pallas_indep_fits(buf, blocks, bs, window):
             result = _decode_independent_pallas(buf, blocks, bs, window)
@@ -406,7 +521,7 @@ def device_decompress_frame(data, verify_checksum: bool = True,
             # piece exceeded capacity (giant RLE) — fall through to XLA.
             from .bigblock import decompress_frame_big
             result = decompress_frame_big(buf, blocks, header, window)
-    elif (not header["independent"] and engine == "pallas"
+    elif (not header["independent"] and engine in ("pallas", "split")
           and decode_batch is None and bs > _PALLAS_LINKED_MAX_BS):
         from .bigblock import decompress_frame_big
         result = decompress_frame_big(buf, blocks, header, window)
@@ -414,7 +529,7 @@ def device_decompress_frame(data, verify_checksum: bool = True,
         if header["independent"]:
             result = _decode_independent(buf, blocks, bs, decode_batch,
                                          window)
-        elif (engine == "pallas" and decode_batch is None
+        elif (engine in ("pallas", "split") and decode_batch is None
               and bs <= _PALLAS_LINKED_MAX_BS):
             result = _decode_linked_pallas(buf, blocks, bs, window)
         else:
@@ -677,6 +792,93 @@ def _pallas_indep_fits(buf, blocks, bs, window) -> bool:
 # ([64 KB window | outputs]) in VMEM; larger block sizes fall back to the
 # XLA scan.
 _PALLAS_LINKED_MAX_BS = 262144
+
+# Split decode (host record parse + interleaved copy kernel) keeps each
+# block's full io image in VMEM per way; beyond this the big-block router
+# takes over.
+_SPLIT_MAX_BS = 262144
+
+
+def _decode_independent_split(buf, blocks, bs, window=None) -> np.ndarray:
+    """Independent-frame decode via the split path (ops/pallas_split_decode):
+    the native host parser places literals and emits straight-line match
+    records; the device kernel interleaves WAYS blocks' record copies per
+    grid step. Stored blocks become zero-record blocks whose literal image
+    IS the wire bytes — no patch-up pass. Blocks are batch-sorted by record
+    count so interleave groups run similar trip counts (outputs un-permuted
+    on host)."""
+    import jax
+
+    from ..ops.pallas_split_decode import (
+        NOOP_W0, NOOP_W1, decode_blocks_split, parse_records, plan_ways)
+    from ..ops.pallas_split_decode import SLACK as SP_SLACK
+    from ..ops.pallas_split_decode import W as SP_W
+    from ..ops.pallas_split_decode import _pow2_at_least, _round_up as _ru
+
+    nb = len(blocks)
+    use_history = window is not None
+    out_base = SP_W if use_history else 0
+    io_bytes = _ru(out_base + bs + SP_SLACK, 1024)
+    hl = len(window) if use_history else 0
+    lit = np.zeros((nb, io_bytes), np.uint8)
+    counts = np.zeros(nb, np.int32)
+    out_lens = np.zeros(nb, np.int64)
+    recs_l = []
+    for i, (off, size, stored) in enumerate(blocks):
+        if hl:
+            lit[i, out_base - hl: out_base] = window
+        if stored:
+            lit[i, out_base: out_base + size] = buf[off: off + size]
+            recs_l.append(None)
+            out_lens[i] = size
+        else:
+            r, ol = parse_records(buf[off: off + size], lit[i, out_base:],
+                                  bs, hl)
+            recs_l.append(r)
+            counts[i] = len(r)
+            out_lens[i] = ol
+    cap = _pow2_at_least(max(int(counts.max(initial=0)) + 1, 2), 128)
+    recs = np.empty((nb, cap, 2), np.uint32)
+    recs[:, :, 0] = NOOP_W0
+    recs[:, :, 1] = NOOP_W1
+    for i, r in enumerate(recs_l):
+        if r is not None and len(r):
+            recs[i, : len(r)] = r
+    recs = recs.view(np.int32)
+    ways = plan_ways(cap, io_bytes)
+    interpret = jax.default_backend() != "tpu"
+
+    order = np.argsort(counts, kind="stable")
+    CH = _FRAME_CHUNK_ROWS_DEC
+    outs = [None] * nb  # per-block u8 rows, original indexing
+    for i in range(0, nb, CH):
+        rows = min(CH, nb - i)
+        target = CH if nb > CH else max(_chunk_rows_bucket(rows), ways)
+        sel = order[i: i + rows]
+        lit_c = lit[sel]
+        recs_c = recs[sel]
+        cnt_c = counts[sel]
+        if rows < target:
+            pad = target - rows
+            lit_c = np.concatenate(
+                [lit_c, np.zeros((pad, io_bytes), np.uint8)])
+            pad_r = np.empty((pad, cap, 2), np.uint32)
+            pad_r[..., 0] = NOOP_W0
+            pad_r[..., 1] = NOOP_W1
+            recs_c = np.concatenate([recs_c, pad_r.view(np.int32)])
+            cnt_c = np.concatenate([cnt_c, np.zeros(pad, np.int32)])
+        nsteps = target // ways
+        trips = np.array([int(cnt_c[g * ways:(g + 1) * ways].max())
+                          for g in range(nsteps)], np.int32)
+        out = decode_blocks_split(
+            jnp.asarray(lit_c), jnp.asarray(recs_c), jnp.asarray(trips),
+            bs, use_history, interpret).astype(jnp.uint8)
+        out_np = np.asarray(out)
+        for k, b in enumerate(sel):
+            outs[b] = out_np[k]
+    return np.concatenate(
+        [outs[i][: int(out_lens[i])] for i in range(nb)]) \
+        if nb else np.empty(0, np.uint8)
 
 
 def _decode_linked_pallas(buf, blocks, bs, window=None) -> np.ndarray:
