@@ -341,6 +341,70 @@ def bench_hybrid_encode(corpus: np.ndarray, block_size: int, runs: int):
     return report_bytes, float(np.median(ts)), total, ref_total
 
 
+def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
+    """Chain-direct encoder figures: device candidate chains (amortized
+    over R queued calls) + the native host select/extend/serialize tail.
+    Output is decode-verified and sized against the reference encoder.
+    Returns (bytes, t_chains_amortized, t_serialize, comp, ref_total)."""
+    import jax
+    import jax.numpy as jnp
+
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.ops.split_encode import (
+        chain_select_serialize, encode_blocks_chain)
+
+    n = len(corpus)
+    nb = n // block_size
+    if nb == 0:
+        raise ValueError("corpus too small for chain encode bench")
+    work = corpus[: nb * block_size].astype(np.int32) \
+        .reshape(nb, block_size)
+    lens = np.full(nb, block_size, np.int32)
+    d_work = jax.device_put(jnp.asarray(work))
+    d_lens = jax.device_put(jnp.asarray(lens))
+
+    def chains_fn(reps=1):
+        for _ in range(reps):
+            ch = encode_blocks_chain(d_work, d_lens, block_size)
+        return ch
+
+    ch = chains_fn()
+    _ = int(jnp.sum(ch[0, :8]))
+    ch_np = np.asarray(ch)
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(nb):
+        wk = np.zeros(block_size + 8, np.uint8)
+        wk[:block_size] = corpus[i * block_size:(i + 1) * block_size]
+        outs.append(chain_select_serialize(wk, 0, block_size, ch_np[i]))
+    t_ser = time.perf_counter() - t0
+    comp = sum(len(o) for o in outs)
+    ref_total = 0
+    buf = np.empty(block_size, np.uint8)
+    for i in range(nb):
+        r = np.asarray(lz4.compress_raw(
+            corpus[i * block_size:(i + 1) * block_size]))
+        ref_total += min(len(r), block_size)
+        assert lz4.decompress_raw(outs[i], buf) == block_size
+        assert np.array_equal(buf,
+                              corpus[i * block_size:(i + 1) * block_size])
+    R = 4
+    ts1, tsR = [], []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        ch = chains_fn()
+        _ = int(jnp.sum(ch[0, :8]))
+        ts1.append(time.perf_counter() - t0)
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        ch = chains_fn(R)
+        _ = int(jnp.sum(ch[0, :8]))
+        tsR.append(time.perf_counter() - t0)
+    kern = max((float(np.median(tsR)) - float(np.median(ts1))) / (R - 1),
+               1e-9)
+    return nb * block_size, kern, t_ser, comp, ref_total
+
+
 def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):
     """Encode-only figure for the compiled Pallas greedy-scan kernel.
 
@@ -524,6 +588,26 @@ def main():
             signal.alarm(0)
         try:
             signal.alarm(args.device_budget_s // 3)
+            cb, ck, cs, ccomp, cref = bench_chain_encode(
+                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+            print(f"bench[device-chain-encode/tpu]: {cb / 1e6:.0f}MB "
+                  f"chains {ck * 1e3:.1f} ms amortized = "
+                  f"{cb / ck / 1e6:.1f} MB/s; + host select/serialize "
+                  f"{cs * 1e3:.1f} ms -> {cb / (ck + cs) / 1e6:.1f} MB/s "
+                  f"({ccomp} B out, {ccomp / cref:.4f}x vs reference "
+                  f"encoder {'OK' if ccomp <= cref else 'REGRESSION'})",
+                  file=sys.stderr)
+            extra["device_chain_encode_mbps"] = round(
+                cb / (ck + cs) / 1e6, 1)
+            extra["device_chain_kernel_mbps"] = round(cb / ck / 1e6, 1)
+            extra["device_ratio_vs_reference"] = round(ccomp / cref, 4)
+        except (_Timeout, Exception) as e:
+            print(f"bench: chain encode tier skipped ({e!r})",
+                  file=sys.stderr)
+        finally:
+            signal.alarm(0)
+        try:
+            signal.alarm(args.device_budget_s // 3)
             hb, ht, hcomp, href = bench_hybrid_encode(
                 corpus[:dev_size], args.block, max(args.runs // 2, 1))
             print(f"bench[device-hybrid-encode/tpu]: {hb / 1e6:.0f}MB in "
@@ -532,7 +616,7 @@ def main():
                   f"encoder {'OK' if hcomp <= href else 'REGRESSION'})",
                   file=sys.stderr)
             extra["device_hybrid_encode_mbps"] = round(hb / ht / 1e6, 1)
-            extra["device_ratio_vs_reference"] = round(hcomp / href, 4)
+            extra["device_hybrid_ratio"] = round(hcomp / href, 4)
         except (_Timeout, Exception) as e:
             print(f"bench: hybrid encode tier skipped ({e!r})",
                   file=sys.stderr)

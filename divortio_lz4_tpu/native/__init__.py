@@ -100,9 +100,9 @@ _lib.lz4t_parse_records.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
     ctypes.POINTER(ctypes.c_int64)]
 
-_lib.lz4t_serialize_records.restype = ctypes.c_int64
-_lib.lz4t_serialize_records.argtypes = [
-    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+_lib.lz4t_chain_serialize.restype = ctypes.c_int64
+_lib.lz4t_chain_serialize.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ctypes.c_void_p]
 
 _ERRORS = {
@@ -274,18 +274,19 @@ def parse_records_native(src: np.ndarray, lit: np.ndarray, out_cap: int,
     return recs[:rc], int(out_len.value)
 
 
-def serialize_records_native(payload: np.ndarray, recs: np.ndarray,
-                             out: np.ndarray) -> int:
-    """Serialize split-encoder match records into one LZ4 block stream
-    (see lz4t_serialize_records); returns bytes written into *out*."""
-    payload = np.ascontiguousarray(payload, dtype=np.uint8)
-    recs = np.ascontiguousarray(recs, dtype=np.uint32)
+def chain_serialize_native(work: np.ndarray, hist_len: int, src_len: int,
+                           chain: np.ndarray, out: np.ndarray) -> int:
+    """Greedy select + exact-extend + serialize over a device-built
+    candidate chain (see lz4t_chain_serialize). *work* = [history|payload]
+    and MUST carry >= 8 readable bytes past hist_len + src_len (the
+    extension compares 8-byte words; wrappers pad). Returns bytes
+    written."""
+    assert work.dtype == np.uint8 and work.flags.c_contiguous
+    assert chain.dtype == np.int32 and chain.flags.c_contiguous
     assert out.dtype == np.uint8 and out.flags.c_contiguous
-    rc = int(_lib.lz4t_serialize_records(
-        _ptr(payload), len(payload), _ptr(recs), recs.size // 2, _ptr(out)))
-    if rc < 0:
-        raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))
-    return rc
+    assert len(work) >= hist_len + src_len + 8
+    return int(_lib.lz4t_chain_serialize(
+        _ptr(work), hist_len, src_len, _ptr(chain), _ptr(out)))
 
 
 # --- Registration ---

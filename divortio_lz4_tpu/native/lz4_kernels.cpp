@@ -867,60 +867,77 @@ int64_t lz4t_parse_records(const uint8_t* src, int64_t src_len, uint8_t* lit,
   return nrec;
 }
 
-// Serialize the split encoder's match records into one LZ4 block stream
-// (ops/split_encode.py). recs[2k] = dist | (mlen << 16), recs[2k+1] =
-// lit_len (literals precede the match, taken from payload at the running
-// anchor). Consecutive records with lit_len == 0 and the same dist MERGE
-// into one sequence (the device walk emits 128-byte match continuations;
-// merging is always valid LZ4 — and shorter). Records with mlen == 0
-// contribute nothing (zero-length continuations). The trailing literal
-// run [anchor, src_len) is appended with a literal-only token. Returns
-// bytes written, or ERR_MALFORMED on a (kernel-bug) standalone short
-// match.
-int64_t lz4t_serialize_records(const uint8_t* payload, int64_t src_len,
-                               const uint32_t* recs, int64_t nrec,
-                               uint8_t* out) {
-  int64_t anchor = 0, d = 0, k = 0;
-  while (k < nrec) {
-    int64_t dist = recs[2 * k] & 0xFFFF;
-    int64_t mlen = recs[2 * k] >> 16;
-    int64_t lit = recs[2 * k + 1];
-    k++;
-    while (k < nrec && recs[2 * k + 1] == 0 &&
-           (int64_t)(recs[2 * k] & 0xFFFF) == dist) {
-      mlen += recs[2 * k] >> 16;  // match continuation
-      k++;
-    }
-    if (mlen == 0 && lit == 0) continue;  // zero-length continuation head
-    if (mlen < MIN_MATCH || dist == 0) return ERR_MALFORMED;
-    int64_t mcode = mlen - MIN_MATCH;
-    uint8_t token = (uint8_t)((lit < 15 ? lit : 15) << 4
-                              | (mcode < 15 ? mcode : 15));
-    out[d++] = token;
-    if (lit >= 15) {
-      int64_t rem = lit - 15;
-      while (rem >= 255) { out[d++] = 255; rem -= 255; }
-      out[d++] = (uint8_t)rem;
-    }
-    std::memcpy(out + d, payload + anchor, (size_t)lit);
-    d += lit;
-    anchor += lit + mlen;
-    out[d++] = (uint8_t)(dist & 0xFF);
-    out[d++] = (uint8_t)(dist >> 8);
-    if (mcode >= 15) {
-      int64_t rem = mcode - 15;
-      while (rem >= 255) { out[d++] = 255; rem -= 255; }
-      out[d++] = (uint8_t)rem;
+// Greedy selection + exact extension + serialization over a device-built
+// candidate chain (ops/split_encode.py "chain-direct" encode). chain[a] =
+// (m << 16) | dist packs, for every payload position a, the FIRST
+// matchable position m >= a (u16; 0xFFFF = none) and its match distance —
+// the XLA sort phase's reverse cummin (ops/hybrid_encode.build_chains).
+// This loop IS the hybrid Pallas walk's semantics run at host speed:
+// anchor -> chain[anchor] -> anchor + exact_extension, so the wire is
+// byte-identical to engine="hybrid". The device does the exhaustive
+// candidate search (the expensive part); this does O(sequences) selection
+// at memcpy-class speed. work points at [history | payload]; chain
+// entries are payload-relative. Returns bytes written.
+int64_t lz4t_chain_serialize(const uint8_t* work, int64_t hist_len,
+                             int64_t src_len, const int32_t* chain,
+                             uint8_t* out) {
+  const int64_t mf_limit = src_len - MF_LIMIT;
+  const int64_t match_limit = src_len - LAST_LITERALS;
+  const uint8_t* pay = work + hist_len;
+  int64_t o = 0, d = 0;
+  if (src_len > 0 && mf_limit > 0) {
+    uint32_t e = (uint32_t)chain[0];
+    int64_t m = (e >> 16) & 0xFFFF, dist = e & 0xFFFF;
+    while (m < mf_limit) {
+      // exact extension (first MIN_MATCH bytes equal by construction)
+      int64_t len = MIN_MATCH;
+      const uint8_t* a = pay + m;
+      const uint8_t* b = a - dist;
+      const int64_t lim = match_limit - m;
+      while (len + 8 <= lim) {
+        uint64_t x, y;
+        std::memcpy(&x, a + len, 8);
+        std::memcpy(&y, b + len, 8);
+        if (x != y) {
+          len += __builtin_ctzll(x ^ y) >> 3;
+          goto emit;
+        }
+        len += 8;
+      }
+      while (len < lim && a[len] == b[len]) len++;
+    emit:;
+      int64_t lit = m - o;
+      int64_t mcode = len - MIN_MATCH;
+      out[d++] = (uint8_t)((lit < 15 ? lit : 15) << 4
+                           | (mcode < 15 ? mcode : 15));
+      if (lit >= 15) {
+        int64_t rem = lit - 15;
+        while (rem >= 255) { out[d++] = 255; rem -= 255; }
+        out[d++] = (uint8_t)rem;
+      }
+      std::memcpy(out + d, pay + o, (size_t)lit);
+      d += lit;
+      out[d++] = (uint8_t)(dist & 0xFF);
+      out[d++] = (uint8_t)(dist >> 8);
+      if (mcode >= 15) {
+        int64_t rem = mcode - 15;
+        while (rem >= 255) { out[d++] = 255; rem -= 255; }
+        out[d++] = (uint8_t)rem;
+      }
+      o = m + len;
+      e = (uint32_t)chain[o];  // o <= match_limit < cap
+      m = (e >> 16) & 0xFFFF;
+      dist = e & 0xFFFF;
     }
   }
-  int64_t lit = src_len - anchor;
+  int64_t lit = src_len - o;
   out[d++] = (uint8_t)((lit < 15 ? lit : 15) << 4);
   if (lit >= 15) {
     int64_t rem = lit - 15;
     while (rem >= 255) { out[d++] = 255; rem -= 255; }
     out[d++] = (uint8_t)rem;
   }
-  std::memcpy(out + d, payload + anchor, (size_t)lit);
+  std::memcpy(out + d, pay + o, (size_t)lit);
   return d + lit;
 }
 

@@ -116,7 +116,6 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     # the true extension. Equality with the zero padding past s_end only
     # affects scores of tail positions the walk clamps anyway.
     from .encode_xla import _B1, _B1_INV, _pows
-    SAMPLE_D = (8, 16, 32, 64, 128, 256)
     inv1 = _pows(_B1_INV, N + 1)
     pw1 = _pows(_B1, N + 1)
     c1 = jnp.concatenate([jnp.zeros(1, jnp.uint32),
@@ -127,7 +126,14 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
         hi = jnp.concatenate([c1[d:], jnp.zeros(max(d - 1, 0), jnp.uint32)])
         return (hi[:N] - c1[:N]) * pw1[:N]
 
-    samples = tuple(_range_hash(d) for d in SAMPLE_D)
+    # Three payload words, each hash-combining two prefix tiers (sort cost
+    # scales with operand count; coarser tiers — 16/64/256 — still
+    # discriminate the period-53 mutation trap: the winning source's first
+    # divergence sits a full tier further out).
+    SAMPLE_D = (16, 64, 256)
+    samples = tuple(
+        _range_hash(d // 2) * jnp.uint32(0x9E3779B1) + _range_hash(d)
+        for d in SAMPLE_D)
     # Which sort-predecessors to score. The nearest previous occurrence is
     # NOT always the best source: on mutated-periodic data the reference's
     # stale 16K table lands on mutation-phase-aligned sources whose matches
@@ -136,17 +142,26 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     # adversarial ratio gate in tests/test_hybrid_encode.py pins this).
     PREDS = (1, 2, 3, 4, 6, 8)
 
-    def nearest_prev(bad):
-        """Best previous identical-word position among non-*bad* positions:
-        the sort predecessor at distance k in {1,2,3,4,6,8} with the
-        longest sampled LCE (ties -> nearest); -1 where none."""
-        sorted_ops = jax.lax.sort((bad, w, idx) + samples, num_keys=3)
+    def nearest_prev(bad, scored):
+        """Previous identical-word position among non-*bad* positions.
+
+        scored=False: the plain sort predecessor (nearest) — 3 operands.
+        scored=True: the sort predecessor at distance k in {1,2,3,4,6,8}
+        with the longest sampled LCE (ties -> nearest) — +3 payloads.
+        -1 where none."""
+        ops = (bad, w, idx) + (samples if scored else ())
+        sorted_ops = jax.lax.sort(ops, num_keys=3)
         sbad, sw, si = sorted_ops[:3]
         ss = sorted_ops[3:]
         good = sbad == 0
 
         def shifted(a, k):
             return jnp.concatenate([jnp.zeros(k, a.dtype), a[:-k]])
+
+        if not scored:
+            ok = good & shifted(good, 1) & (shifted(sw, 1) == sw)
+            cand_sorted = jnp.where(ok, shifted(si, 1), -1)
+            return jnp.zeros(N, jnp.int32).at[si].set(cand_sorted)
 
         best_key = jnp.full(N, -1, jnp.int32)
         best_cand = jnp.full(N, -1, jnp.int32)
@@ -156,7 +171,7 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
             pgood = shifted(good.astype(jnp.int32), k) > 0
             dist = si - pi
             ok = good & pgood & (pw == sw) & (dist < WINDOW_SIZE)
-            # approximate LCE: longest run of equal samples from d=4 up
+            # approximate LCE: longest run of equal sample tiers
             sc = jnp.full(N, 4, jnp.int32)
             m = jnp.ones(N, bool)
             for d, s in zip(SAMPLE_D, ss):
@@ -180,8 +195,12 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     interior = jnp.zeros(N, bool)
     for p in (1, 2, 3, 4):
         interior = interior.at[p:].set(interior[p:] | (w[p:] == w[:-p]))
-    cand_a = nearest_prev(invalid)
-    cand_b = nearest_prev(invalid | interior.astype(jnp.int32))
+    # Chain A (unscored nearest) serves only in-run anchors where chain B
+    # has no candidate — nearest always wins there (any in-run distance
+    # extends to the run end), so it skips the scoring payloads. Chain B
+    # (interior-excluded sources) carries the scores.
+    cand_a = nearest_prev(invalid, scored=False)
+    cand_b = nearest_prev(invalid | interior.astype(jnp.int32), scored=True)
 
     recv_ok = (idx >= hist_len) & (idx < mf_limit)
     valid_a = (cand_a >= 0) & (idx - cand_a < WINDOW_SIZE) & recv_ok

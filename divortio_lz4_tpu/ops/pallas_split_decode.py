@@ -379,6 +379,35 @@ def parse_block_batch(comps, block_size: int, histories=None):
     return lit, recs.view(np.int32), counts, out_lens, use_history
 
 
+def decode_wire_blocks(comps, block_size: int,
+                       interpret: bool | None = None):
+    """Decode a list of independent blocks' wire bytes in ONE batched
+    kernel dispatch (sorted interleave groups; production grouping).
+    Returns a list of np.uint8 outputs, in input order. Used by the
+    device-backed streaming decoder and the bench tiers."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lit, recs, counts, out_lens, uh = parse_block_batch(comps, block_size)
+    ways = plan_ways(recs.shape[1], lit.shape[1])
+    order = np.argsort(counts, kind="stable")
+    pad = (-len(order)) % ways
+    order_p = np.concatenate([order, np.full(pad, order[-1], np.int64)]) \
+        if pad else order
+    nsteps = len(order_p) // ways
+    counts_s = counts[order_p]
+    trips = np.array([int(counts_s[g * ways:(g + 1) * ways].max())
+                      for g in range(nsteps)], np.int32)
+    out = decode_blocks_split(jnp.asarray(lit[order_p]),
+                              jnp.asarray(recs[order_p]),
+                              jnp.asarray(trips), block_size, uh, interpret)
+    out_np = np.asarray(out).astype(np.uint8)
+    res = [None] * len(comps)
+    for k, b in enumerate(order_p):
+        if res[b] is None:
+            res[b] = out_np[k][: int(out_lens[b])]
+    return res
+
+
 def decode_block_split_host(comp_bytes: np.ndarray, out_cap: int,
                             history: np.ndarray | None = None,
                             interpret: bool | None = None) -> np.ndarray:

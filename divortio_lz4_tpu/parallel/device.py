@@ -218,14 +218,12 @@ def device_compress_frame(data,
 
 def _compress_independent_split(data, config: FrameConfig,
                                 dictionary=None) -> np.ndarray:
-    """Independent-frame encode via the split path (ops/split_encode): the
-    device walks chains and emits match RECORDS; the native host serializer
-    turns records into spec byte streams at GB/s. Overflowed blocks (record
-    cap exceeded — pathological many-sequence data) fall back to the
-    reference-identical host encoder for that block; stored fallback and
-    frame assembly as the host tier."""
-    from ..backends import get_backend
-    from ..ops.split_encode import serialize_block, walk_blocks_split
+    """Independent-frame encode via the chain-direct path
+    (ops/split_encode): the device builds exhaustive candidate chains (the
+    expensive search); the native host greedy-selects, exactly extends, and
+    serializes at memcpy-class speed — wire byte-identical to
+    engine="hybrid". Stored fallback and frame assembly as the host tier."""
+    from ..ops.split_encode import chain_select_serialize, encode_blocks_chain
 
     raw = ensure_buffer(data)
     n = len(raw)
@@ -241,8 +239,6 @@ def _compress_independent_split(data, config: FrameConfig,
     else:
         hist_len = 0
         hist_start = 0
-    import jax as _jax
-    interpret = _jax.default_backend() != "tpu"
 
     CH = _FRAME_CHUNK_ROWS
     comps = [None] * nblocks
@@ -256,35 +252,19 @@ def _compress_independent_split(data, config: FrameConfig,
             w = np.concatenate(
                 [w, np.zeros((target - rows,) + w.shape[1:], w.dtype)])
             l = np.concatenate([l, np.zeros(target - rows, np.int32)])
-        recs, meta = walk_blocks_split(
-            jnp.asarray(w), jnp.asarray(l), bs, hist_len, hist_start,
-            interpret)
-        pend.append((i, rows, recs, meta))
-    backend = get_backend()
-    table = np.zeros(16384, np.int32)
-    for i, rows, recs, meta in pend:
-        recs_np = np.asarray(recs)
-        meta_np = np.asarray(meta)
+        pend.append((i, rows,
+                     encode_blocks_chain(w, l, bs, hist_len, hist_start)))
+    for i, rows, chains in pend:
+        chains_np = np.asarray(chains)
         for k in range(rows):
             b = i + k
-            payload = raw[b * bs: b * bs + int(lens[b])]
-            if meta_np[k, 2]:  # record-cap overflow: host fallback
-                dst = np.empty(len(payload) + len(payload) // 255 + 64,
-                               np.uint8)
-                if window is not None:
-                    wk = np.concatenate([window, payload])
-                    table[:] = 0
-                    backend.warm_table(table, wk, len(window))
-                    nw = backend.compress_block(
-                        wk, dst, len(window), len(payload), table, 0)
-                else:
-                    table[:] = 0
-                    nw = backend.compress_block(
-                        payload, dst, 0, len(payload), table, 0)
-                comps[b] = dst[:nw]
-            else:
-                comps[b] = serialize_block(payload, recs_np[k],
-                                           int(meta_np[k, 0]))
+            src_len = int(lens[b])
+            wk = np.zeros(hist_len + src_len + 8, np.uint8)
+            if hist_len:
+                wk[:hist_len] = work[b, :hist_len]
+            wk[hist_len: hist_len + src_len] = raw[b * bs: b * bs + src_len]
+            comps[b] = chain_select_serialize(wk, hist_len, src_len,
+                                              chains_np[k])
 
     # Frame assembly (host): header / size words / stored fallback / EndMark
     frame = np.empty(19 + n + (n // 255) + 16 * max(nblocks, 1) + 8,
@@ -472,7 +452,8 @@ def parse_block_index(buf: np.ndarray, verify_checksum: bool = True):
 def device_decompress_frame(data, verify_checksum: bool = True,
                             decode_batch=None,
                             engine: str = "xla",
-                            dictionary=None) -> np.ndarray:
+                            dictionary=None,
+                            split_sharded=None) -> np.ndarray:
     """Decompress an LZ4 frame with batched device block decode.
 
     Independent frames decode fully data-parallel. Linked frames decode as a
@@ -511,7 +492,8 @@ def device_decompress_frame(data, verify_checksum: bool = True,
         result = np.empty(0, dtype=np.uint8)
     elif (header["independent"] and engine == "split"
           and decode_batch is None and bs <= _SPLIT_MAX_BS):
-        result = _decode_independent_split(buf, blocks, bs, window)
+        result = _decode_independent_split(buf, blocks, bs, window,
+                                           sharded=split_sharded)
     elif (header["independent"] and engine in ("pallas", "split")
           and decode_batch is None):
         if _pallas_indep_fits(buf, blocks, bs, window):
@@ -799,14 +781,20 @@ _PALLAS_LINKED_MAX_BS = 262144
 _SPLIT_MAX_BS = 262144
 
 
-def _decode_independent_split(buf, blocks, bs, window=None) -> np.ndarray:
+def _decode_independent_split(buf, blocks, bs, window=None,
+                              sharded=None) -> np.ndarray:
     """Independent-frame decode via the split path (ops/pallas_split_decode):
     the native host parser places literals and emits straight-line match
     records; the device kernel interleaves WAYS blocks' record copies per
     grid step. Stored blocks become zero-record blocks whose literal image
     IS the wire bytes — no patch-up pass. Blocks are batch-sorted by record
     count so interleave groups run similar trip counts (outputs un-permuted
-    on host)."""
+    on host).
+
+    sharded: optional (ndev, dec_fn) — one dispatch over a device mesh.
+    Sorted blocks are STRIPED across devices (balanced record counts);
+    rows pad to ndev*ways so every shard's groups align; dec_fn is the
+    shard_map-wrapped decode_blocks_split (parallel/sharding.py)."""
     import jax
 
     from ..ops.pallas_split_decode import (
@@ -849,6 +837,34 @@ def _decode_independent_split(buf, blocks, bs, window=None) -> np.ndarray:
     interpret = jax.default_backend() != "tpu"
 
     order = np.argsort(counts, kind="stable")
+
+    if sharded is not None:
+        ndev, dec_fn = sharded
+        unit = ndev * ways
+        padn = (-len(order)) % unit
+        order_p = np.concatenate(
+            [order, np.full(padn, order[-1] if nb else 0, np.int64)]) \
+            if padn else order
+        # stripe sorted blocks across devices: device d takes rows d::ndev
+        # (balanced totals; within a device, counts stay sorted so
+        # interleave groups run similar trips)
+        npad = len(order_p)
+        stripe = np.concatenate([order_p[d::ndev] for d in range(ndev)])
+        cnt_s = counts[stripe] if nb else np.zeros(npad, np.int32)
+        nsteps = npad // ways
+        trips = np.array([int(cnt_s[g * ways:(g + 1) * ways].max(initial=0))
+                          for g in range(nsteps)], np.int32)
+        out = dec_fn(jnp.asarray(lit[stripe]), jnp.asarray(recs[stripe]),
+                     jnp.asarray(trips), use_history)
+        out_np = np.asarray(out).astype(np.uint8)
+        outs = [None] * nb
+        for k, b in enumerate(stripe):
+            if outs[b] is None:
+                outs[b] = out_np[k]
+        return np.concatenate(
+            [outs[i][: int(out_lens[i])] for i in range(nb)]) \
+            if nb else np.empty(0, np.uint8)
+
     CH = _FRAME_CHUNK_ROWS_DEC
     outs = [None] * nb  # per-block u8 rows, original indexing
     for i in range(0, nb, CH):

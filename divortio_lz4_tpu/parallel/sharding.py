@@ -195,5 +195,43 @@ class ShardedCodec:
                 jax.device_put(jnp.asarray(lens_p), sh1),
                 jax.device_put(jnp.asarray(hist_p), sh))
             return out[:nb], out_len[:nb]
+        if self._use_best:
+            # Split path: one sharded dispatch of the interleaved copy
+            # kernel (host parse -> striped rows over the mesh). Falls
+            # back to the interpreter path for unsupported shapes.
+            from .device import _SPLIT_MAX_BS
+            bs = self.config.resolved_block_size
+            if bs <= _SPLIT_MAX_BS:
+                return device_decompress_frame(
+                    data, verify_checksum, dictionary=dictionary,
+                    engine="split",
+                    split_sharded=(self.ndev, self._dec_split))
         return device_decompress_frame(data, verify_checksum, decode_batch,
                                        dictionary=dictionary)
+
+    def _dec_split(self, lit, recs, trips, use_history: bool):
+        """shard_map'd split decode over the mesh (rows pre-striped and
+        padded to ndev*ways by the device layer)."""
+        from ..ops.pallas_split_decode import decode_blocks_split
+
+        bs = self.config.resolved_block_size
+        interp = jax.default_backend() != "tpu"
+        mesh, axis = self.mesh, self.axis
+        key = (lit.shape[1], recs.shape[1], bool(use_history))
+        if not hasattr(self, "_dec_split_cache"):
+            self._dec_split_cache = {}
+        if key not in self._dec_split_cache:
+            def dec_shard(lit_s, recs_s, trips_s):
+                return decode_blocks_split(lit_s, recs_s, trips_s, bs,
+                                           use_history, interp)
+
+            self._dec_split_cache[key] = jax.jit(shard_map(
+                dec_shard, mesh=mesh, check_vma=False,
+                in_specs=(P(axis, None), P(axis, None, None), P(axis)),
+                out_specs=P(axis, None)))
+        sh2 = NamedSharding(mesh, P(self.axis, None))
+        sh3 = NamedSharding(mesh, P(self.axis, None, None))
+        sh1 = NamedSharding(mesh, P(self.axis))
+        return self._dec_split_cache[key](
+            jax.device_put(lit, sh2), jax.device_put(recs, sh3),
+            jax.device_put(trips, sh1))

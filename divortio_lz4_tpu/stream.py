@@ -63,7 +63,13 @@ class LZ4Encoder:
         # Streaming cannot know the total size up front; content_size is
         # forced off (the reference's streaming header never carries it).
         self.config = config.with_(content_size=False)
-        self._be = get_backend(backend)
+        # backend="device": bursts of >= _DEVICE_MIN_BLOCKS full
+        # INDEPENDENT blocks in one add() batch through the device split
+        # encoder (record walk + host serializer); remainders, linked
+        # frames, and small feeds use the host backend. The reference's
+        # analog is worker-stream offload (lz4.worker.js:36-68).
+        self._device = backend == "device"
+        self._be = get_backend(None if self._device else backend)
         self._block_size = self.config.resolved_block_size
         self._pending = bytearray()
         self._header_sent = False
@@ -172,11 +178,56 @@ class LZ4Encoder:
         # views) — the accumulate-then-reslice copies measurably dominated
         # streaming encode of large feeds (profiled; the reference notes
         # the same compromise in lz4Encode.js:184-190 and keeps it).
+        nfull = (len(buf) - pos) // bs
+        if (self._device and self.config.block_independence
+                and nfull >= _DEVICE_MIN_BLOCKS and self._device_enc_ok()):
+            outputs.extend(self._flush_blocks_device(
+                buf[pos: pos + nfull * bs], nfull))
+            pos += nfull * bs
         while len(buf) - pos >= bs:
             outputs.append(self._flush_block(buf[pos: pos + bs]))
             pos += bs
         if pos < len(buf):
             self._pending += buf[pos:].tobytes()
+        return outputs
+
+    def _device_enc_ok(self) -> bool:
+        from .ops.hybrid_encode import hybrid_max_bs
+        return (self._block_size <= hybrid_max_bs()
+                and self._block_size % 1024 == 0 and self._dict_id is None)
+
+    def _flush_blocks_device(self, payload: np.ndarray,
+                             nfull: int) -> List[bytes]:
+        """Batch nfull independent full blocks through the chain-direct
+        encoder (one device dispatch for the candidate chains; host
+        selection + serialization + framing)."""
+        from .ops.split_encode import (chain_select_serialize,
+                                       encode_blocks_chain)
+
+        bs = self._block_size
+        work = payload.astype(np.int32).reshape(nfull, bs)
+        lens = np.full(nfull, bs, np.int32)
+        chains = np.asarray(encode_blocks_chain(work, lens, bs, 0, 0))
+        outputs: List[bytes] = []
+        for i in range(nfull):
+            row = payload[i * bs: (i + 1) * bs]
+            wk = np.zeros(bs + 8, np.uint8)
+            wk[:bs] = row
+            comp = chain_select_serialize(wk, 0, bs, chains[i])
+            n = len(comp)
+            out = np.empty(4 + max(n, bs) + 4, np.uint8)
+            if 0 < n < bs:
+                write_u32le(out, 0, n)
+                out[4: 4 + n] = comp
+                end = 4 + n
+            else:
+                write_u32le(out, 0, bs | UNCOMPRESSED_FLAG)
+                out[4: 4 + bs] = row
+                end = 4 + bs
+            if self.config.block_checksums:
+                write_u32le(out, end, xxhash32(out[4:end], 0))
+                end += 4
+            outputs.append(bytes(out[:end]))
         return outputs
 
     # Alias for drop-in familiarity with the reference's test-suite name.
@@ -236,6 +287,10 @@ class LZ4Encoder:
 
 
 # FSM states (lz4Decode.js:27-31, plus SKIP for skippable frames).
+# Minimum buffered full blocks before the device engines batch a dispatch
+# (below it, per-dispatch latency loses to the host tier).
+_DEVICE_MIN_BLOCKS = 4
+
 _S_MAGIC = 0
 _S_HEADER = 1
 _S_BLOCK_SIZE = 2
@@ -255,7 +310,12 @@ class LZ4Decoder:
 
     def __init__(self, dictionary=None, verify_checksum: bool = True,
                  backend: Optional[str] = None):
-        self._be = get_backend(backend)
+        # backend="device": when >= _DEVICE_MIN_BLOCKS complete INDEPENDENT
+        # blocks sit buffered, they decode as ONE batched dispatch of the
+        # split kernel (ops/pallas_split_decode.decode_wire_blocks);
+        # fragments, linked frames, and dictionaries use the host backend.
+        self._device = backend == "device"
+        self._be = get_backend(None if self._device else backend)
         self.verify_checksum = verify_checksum
         self._dict = ensure_buffer(dictionary) if dictionary is not None else None
         self._buf = bytearray()
@@ -362,6 +422,11 @@ class LZ4Decoder:
             elif self._state == _S_BLOCK_SIZE:
                 if len(self._buf) < 4:
                     break
+                if (self._device and (self._flg & FLG_BLOCK_INDEPENDENCE)
+                        and self._dict is None
+                        and self._block_max <= 262144
+                        and self._try_batch_decode(outputs)):
+                    continue
                 word = read_u32le(self._buf, 0)
                 del self._buf[:4]
                 if word == 0:
@@ -427,6 +492,48 @@ class LZ4Decoder:
                 self._reset_frame_state()
 
         return outputs
+
+    def _try_batch_decode(self, outputs: List[np.ndarray]) -> bool:
+        """Scan buffered complete independent blocks; batch-decode them in
+        one device dispatch when >= _DEVICE_MIN_BLOCKS are available.
+        Returns True when it consumed input (state stays _S_BLOCK_SIZE)."""
+        spans = []  # (data_off, bsize, stored, ck_off)
+        p = 0
+        n = len(self._buf)
+        ck = 4 if self._has_block_checksum else 0
+        while p + 4 <= n:
+            word = read_u32le(self._buf, p)
+            if word == 0:
+                break
+            bsize = word & BLOCK_SIZE_MASK
+            if bsize > self._block_max or p + 4 + bsize + ck > n:
+                break
+            spans.append((p + 4, bsize, bool(word & UNCOMPRESSED_FLAG),
+                          p + 4 + bsize))
+            p += 4 + bsize + ck
+        if len(spans) < _DEVICE_MIN_BLOCKS:
+            return False
+        from .ops.pallas_split_decode import decode_wire_blocks
+        buf_np = np.frombuffer(bytes(self._buf[:p]), np.uint8)
+        if self._has_block_checksum and self.verify_checksum:
+            for off, bsize, _, cko in spans:
+                if read_u32le(self._buf, cko) \
+                        != xxhash32(buf_np[off: off + bsize], 0):
+                    raise ValueError("LZ4: Block Checksum Error")
+        comp_idx = [i for i, s in enumerate(spans) if not s[2]]
+        decoded = decode_wire_blocks(
+            [buf_np[spans[i][0]: spans[i][0] + spans[i][1]]
+             for i in comp_idx], self._block_max)
+        dec_map = dict(zip(comp_idx, decoded))
+        for i, (off, bsize, stored, _) in enumerate(spans):
+            chunk = (np.array(buf_np[off: off + bsize]) if stored
+                     else dec_map[i])
+            if self._has_content_checksum:
+                self._hasher.update(chunk)
+            self._update_window(chunk)
+            outputs.append(chunk)
+        del self._buf[:p]
+        return True
 
     def _update_window(self, chunk: np.ndarray) -> None:
         """Three-case rolling window update (lz4Decode.js:279-306)."""

@@ -1,6 +1,6 @@
-"""Split encoder (scored chains + record-walk kernel + host serializer,
-interpret mode on CPU): sequence-identical wire vs the hybrid walk,
-round-trips, ratio gate, overflow fallback, frame integration."""
+"""Chain-direct encoder (device candidate chains + host select/extend/
+serialize): wire identity vs the hybrid walk, round-trips, ratio gates,
+frame and streaming integration."""
 
 import numpy as np
 import pytest
@@ -8,11 +8,10 @@ import pytest
 import divortio_lz4_tpu as lz4
 from divortio_lz4_tpu.ops.hybrid_encode import encode_block_hybrid_host
 from divortio_lz4_tpu.ops.split_encode import (
-    REC_CAP,
-    _serialize_records_py,
+    _chain_serialize_py,
+    chain_select_serialize,
     encode_block_split_host,
-    serialize_block,
-    walk_blocks_split,
+    encode_blocks_chain,
 )
 
 
@@ -36,35 +35,31 @@ CASES = {
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_split_encode_matches_hybrid_wire(name):
+def test_chain_encode_matches_hybrid_wire(name):
     data = CASES[name]
     c = encode_block_split_host(data)
     h = encode_block_hybrid_host(data)
     _roundtrip(data, c)
     if len(data):
-        # same chains + same greedy semantics => identical byte stream
+        # same chains + same greedy + same exact extension => same bytes
         np.testing.assert_array_equal(np.asarray(c), np.asarray(h))
     ref = np.asarray(lz4.compress_raw(data))
     assert len(c) <= max(len(ref), 1)
 
 
-def test_split_encode_random_incompressible(rng):
+def test_chain_encode_random_incompressible(rng):
     data = rng.integers(0, 256, 5000, dtype=np.uint8)
-    c = encode_block_split_host(data)
-    _roundtrip(data, c)
+    _roundtrip(data, encode_block_split_host(data))
 
 
-def test_split_encode_mixed_corpus(compressible):
+def test_chain_encode_mixed_corpus(compressible):
     data = np.asarray(compressible(40000))
     c = encode_block_split_host(data, block_size=40960)
     _roundtrip(data, c)
-    ref = np.asarray(lz4.compress_raw(data))
-    assert len(c) <= len(ref)
+    assert len(c) <= len(np.asarray(lz4.compress_raw(data)))
 
 
-def test_split_encode_batch_varied_lens(compressible, rng):
-    import jax.numpy as jnp
-
+def test_chain_encode_batch_varied_lens(compressible, rng):
     B = 2048
     rows = [
         np.asarray(compressible(B)),
@@ -77,43 +72,64 @@ def test_split_encode_batch_varied_lens(compressible, rng):
     work = np.zeros((4, B), np.int32)
     for i, r in enumerate(rows):
         work[i] = r
-    recs, meta = walk_blocks_split(jnp.asarray(work), jnp.asarray(lens),
-                                   B, 0, 0, True)
-    recs_np, meta_np = np.asarray(recs), np.asarray(meta)
+    chains = np.asarray(encode_blocks_chain(work, lens, B))
     for i in range(4):
-        payload = rows[i][: lens[i]]
-        assert meta_np[i, 2] == 0
-        c = serialize_block(payload, recs_np[i], int(meta_np[i, 0]))
-        _roundtrip(payload, c)
+        src_len = int(lens[i])
+        wk = np.zeros(B + 8, np.uint8)
+        wk[:B] = rows[i]
+        c = chain_select_serialize(wk, 0, src_len, chains[i])
+        _roundtrip(rows[i][:src_len], c)
 
 
-def test_split_encode_serializers_agree(compressible):
-    import jax.numpy as jnp
+def test_chain_encode_history_row(compressible):
+    """Dictionary/linked-style [history | payload] rows: back-references
+    into the history resolve during host extension."""
+    from divortio_lz4_tpu.constants import WINDOW_SIZE
 
+    data = np.asarray(compressible(9000))
+    hist, payload = data[:4096], data[4096:]
+    hl = WINDOW_SIZE
+    work = np.zeros((1, hl + 8192), np.int32)
+    work[0, hl - len(hist): hl] = hist
+    work[0, hl: hl + len(payload)] = payload
+    chains = np.asarray(encode_blocks_chain(
+        work, np.array([len(payload)], np.int32), 8192, hl,
+        hl - len(hist)))
+    wk = np.zeros(hl + len(payload) + 8, np.uint8)
+    wk[hl - len(hist): hl] = hist
+    wk[hl: hl + len(payload)] = payload
+    c = chain_select_serialize(wk, hl, len(payload), chains[0])
+    out = np.empty(len(payload), np.uint8)
+    from divortio_lz4_tpu.ops.block_ref import decompress_block_ref
+    n = decompress_block_ref(np.asarray(c), 0, len(c), out, 0, hist)
+    assert n == len(payload)
+    np.testing.assert_array_equal(out, payload)
+
+
+def test_chain_serializers_agree(compressible):
     data = np.asarray(compressible(8192))
     work = data.astype(np.int32).reshape(1, -1)
-    recs, meta = walk_blocks_split(
-        jnp.asarray(work), jnp.asarray(np.array([8192], np.int32)),
-        8192, 0, 0, True)
-    recs_np = np.asarray(recs[0])[: int(np.asarray(meta)[0, 0])]
-    a = serialize_block(data, recs_np, len(recs_np))
-    b = _serialize_records_py(data, np.ascontiguousarray(recs_np,
-                                                         np.uint32))
+    chains = np.asarray(encode_blocks_chain(
+        work, np.array([8192], np.int32), 8192))
+    wk = np.zeros(8192 + 8, np.uint8)
+    wk[:8192] = data
+    a = chain_select_serialize(wk, 0, 8192, chains[0])
+    b = _chain_serialize_py(wk, 0, 8192, chains[0])
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_split_encode_continuation_merge(rng):
-    """A match far longer than the 128-byte compare window must come back
-    as ONE sequence (continuations merged by the serializer)."""
+def test_chain_encode_long_match_single_sequence(rng):
+    """A 1 KB+ match must serialize as ONE sequence (exact extension runs
+    to the limit, not a compare-window cap)."""
     pat = rng.integers(0, 256, 64, dtype=np.uint8)
-    data = np.concatenate([pat, np.tile(pat, 20)])  # 64B lit + 1280B match
+    data = np.concatenate([pat, np.tile(pat, 20)])
     c = encode_block_split_host(data)
     _roundtrip(data, c)
-    h = encode_block_hybrid_host(data)
-    np.testing.assert_array_equal(np.asarray(c), np.asarray(h))
+    np.testing.assert_array_equal(
+        np.asarray(c), np.asarray(encode_block_hybrid_host(data)))
 
 
-def test_split_encode_frame_paths(compressible):
+def test_chain_encode_frame_paths(compressible):
     from divortio_lz4_tpu.parallel.device import device_compress_frame
 
     corpus = np.asarray(compressible(150000))
@@ -122,9 +138,37 @@ def test_split_encode_frame_paths(compressible):
     out = lz4.decompress(np.asarray(f))
     np.testing.assert_array_equal(np.asarray(out), corpus)
     assert len(f) <= len(lz4.compress(corpus, config=cfg))
-    # dictionary
     d = bytes(corpus[:4096].tobytes())
     fd = device_compress_frame(corpus[:80000], cfg, engine="split",
                                dictionary=d)
     out = lz4.decompress(np.asarray(fd), dictionary=d)
     np.testing.assert_array_equal(np.asarray(out), corpus[:80000])
+
+
+def test_device_streaming_engines(compressible, rng):
+    """backend="device" streaming: encoder batches full blocks through the
+    chain-direct encoder; decoder batches buffered blocks through the split
+    kernel; cross-checked against the host tier both ways."""
+    from divortio_lz4_tpu.stream import LZ4Decoder, LZ4Encoder
+
+    corpus = np.concatenate([np.asarray(compressible(400000)),
+                             rng.integers(0, 256, 70000, np.uint8)])
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=True,
+                          content_checksum=True)
+    enc = LZ4Encoder(cfg, backend="device")
+    frame = b"".join(bytes(c) for c in enc.add(corpus))
+    frame += b"".join(bytes(c) for c in enc.finish())
+    out = lz4.decompress(np.frombuffer(frame, np.uint8))
+    np.testing.assert_array_equal(np.asarray(out), corpus)
+    assert len(frame) <= len(np.asarray(lz4.compress(corpus, config=cfg)))
+
+    ref = np.asarray(lz4.compress(corpus, config=cfg)).tobytes()
+    dec = LZ4Decoder(backend="device")
+    got = b"".join(bytes(c) for c in dec.update(ref))
+    assert got == corpus.tobytes()
+    # fragmented feed still batches whatever is complete
+    dec = LZ4Decoder(backend="device")
+    got = b""
+    for i in range(0, len(frame), 150_000):
+        got += b"".join(bytes(c) for c in dec.update(frame[i: i + 150_000]))
+    assert got == corpus.tobytes()
