@@ -469,12 +469,12 @@ def bench_device_bigblock(corpus: np.ndarray, runs: int):
         t0 = time.perf_counter()
         frame = compress_frame_big(corpus, cfg)
         t_enc.append(time.perf_counter() - t0)
-    out = device_decompress_frame(frame, engine="pallas")
+    out = device_decompress_frame(frame, engine="split")
     ok = np.array_equal(np.asarray(out), corpus)
     t_dec = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        device_decompress_frame(frame, engine="pallas")
+        device_decompress_frame(frame, engine="split")
         t_dec.append(time.perf_counter() - t0)
     return (float(np.median(t_enc)), float(np.median(t_dec)), len(frame),
             ok)

@@ -84,13 +84,13 @@ def _paths(block_size: int):
                 lambda: LZ4Worker.decompress(frame).result(), len(frame))
 
     def device(data):
-        # Production device engines: hybrid encoder + Pallas decoder
+        # Production device engines: hybrid encoder + split decoder
         # (fall back internally where a shape is unsupported).
         from divortio_lz4_tpu.parallel import (device_compress_frame,
                                                device_decompress_frame)
         frame = np.array(device_compress_frame(data, cfg, engine="hybrid"))
         return (lambda: device_compress_frame(data, cfg, engine="hybrid"),
-                lambda: device_decompress_frame(frame, engine="pallas"),
+                lambda: device_decompress_frame(frame, engine="split"),
                 len(frame))
 
     def device_xla(data):

@@ -217,3 +217,66 @@ def test_split_noop_record_is_identity():
                               BSZ, False, True)
     np.testing.assert_array_equal(
         np.asarray(out[0]).astype(np.uint8), lit[0][:BSZ])
+
+
+# ---------------------------------------------------------------------------
+# Chain-split decode: linked frames and big blocks as dependent piece
+# chains through the split kernel (device window carry, host parse with
+# piece-base record rebasing). Small shapes — interpret mode is slow.
+# ---------------------------------------------------------------------------
+
+def _chain_cases(compressible, rng):
+    base = np.asarray(compressible(120000))
+    return base, rng
+
+
+def test_chain_split_linked_frame(compressible, rng):
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    corpus = np.asarray(compressible(120000))
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=False)
+    frame = np.asarray(lz4.compress(corpus, config=cfg))
+    out = device_decompress_frame(frame, engine="split")
+    np.testing.assert_array_equal(np.asarray(out), corpus)
+
+
+def test_chain_split_linked_dictionary(compressible):
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    corpus = np.asarray(compressible(90000))
+    d = bytes(corpus[:6000].tobytes())
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=False)
+    frame = np.asarray(lz4.compress(corpus, config=cfg, dictionary=d))
+    out = device_decompress_frame(frame, engine="split", dictionary=d)
+    np.testing.assert_array_equal(np.asarray(out), corpus)
+
+
+def test_chain_split_linked_stored_mix(compressible, rng):
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    corpus = np.concatenate([np.asarray(compressible(80000)),
+                             rng.integers(0, 256, 70000, np.uint8)])
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=False)
+    frame = np.asarray(lz4.compress(corpus, config=cfg))
+    out = device_decompress_frame(frame, engine="split")
+    np.testing.assert_array_equal(np.asarray(out), corpus)
+
+
+def test_chain_split_bigblock_independent(compressible):
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    corpus = np.asarray(compressible(150000))
+    cfg = lz4.FrameConfig(block_size=1048576, block_independence=True)
+    frame = np.asarray(lz4.compress(corpus, config=cfg))
+    out = device_decompress_frame(frame, engine="split")
+    np.testing.assert_array_equal(np.asarray(out), corpus)
+
+
+def test_chain_split_giant_rle_falls_back(rng):
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    corpus = np.zeros(400000, np.uint8)  # single >256KB-output sequence
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=False)
+    frame = np.asarray(lz4.compress(corpus, config=cfg))
+    out = device_decompress_frame(frame, engine="split")
+    np.testing.assert_array_equal(np.asarray(out), corpus)
