@@ -84,13 +84,15 @@ def _paths(block_size: int):
                 lambda: LZ4Worker.decompress(frame).result(), len(frame))
 
     def device(data):
-        # Production device engines: hybrid encoder + split decoder
+        # Device engines chosen for this link: hybrid encoder + pallas
+        # decoder (the split engines are kernel-fastest but ship ~2x the
+        # wire; see bench.py bench_device_frames)
         # (fall back internally where a shape is unsupported).
         from divortio_lz4_tpu.parallel import (device_compress_frame,
                                                device_decompress_frame)
         frame = np.array(device_compress_frame(data, cfg, engine="hybrid"))
         return (lambda: device_compress_frame(data, cfg, engine="hybrid"),
-                lambda: device_decompress_frame(frame, engine="split"),
+                lambda: device_decompress_frame(frame, engine="pallas"),
                 len(frame))
 
     def device_xla(data):

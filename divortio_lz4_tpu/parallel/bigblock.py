@@ -35,6 +35,17 @@ Independent blocks reset the window per block (spec semantics,
 linked blocks chain straight through. Blocks containing a single sequence
 longer than the piece capacity (giant RLE) make the caller fall back to the
 XLA kernels; malformed streams raise the host tier's error taxonomy.
+
+Cost ledger (advisor r2 #3, measured r3): a piece CHAIN is sequential by
+nature (piece i's window is piece i-1's output), and on the tunneled dev
+link each device dispatch carries ~30-70 ms of relay latency, so
+multi-piece decodes are dispatch-bound there (independent blocks' chains
+dispatch asynchronously but still serialize on the relay). The round-3
+engine="split" route (parallel/device.py _decode_chain_split) keeps the
+carried window ON DEVICE between chunks and measured 1.6x this module's
+decode path at 4 MB blocks; a cross-block wave batch (piece k of every
+independent block in one kernel) remains the next lever if a
+non-tunneled host shows kernel-bound behavior.
 """
 
 from __future__ import annotations
