@@ -244,15 +244,9 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     lit, recs, counts, out_lens, uh = parse_block_batch(comps, block_size)
     t_parse = time.perf_counter() - t0
 
+    from divortio_lz4_tpu.ops.pallas_split_decode import build_sorted_batch
     ways = plan_ways(recs.shape[1], lit.shape[1])
-    order = np.argsort(counts, kind="stable")
-    pad = (-len(order)) % ways
-    order_p = np.concatenate([order, np.full(pad, order[-1], np.int64)]) \
-        if pad else order
-    nsteps = len(order_p) // ways
-    counts_s = counts[order_p]
-    trips = np.array([int(counts_s[g * ways:(g + 1) * ways].max())
-                      for g in range(nsteps)], np.int32)
+    order_p, trips = build_sorted_batch(counts, ways)
     d_lit = jax.device_put(jnp.asarray(lit[order_p]))
     d_recs = jax.device_put(jnp.asarray(recs[order_p]))
     d_trips = jax.device_put(jnp.asarray(trips))
@@ -625,8 +619,10 @@ def main():
                   file=sys.stderr)
         finally:
             signal.alarm(0)
-        # Headline device tier: the production frame path on its best
-        # engines (hybrid encode + split decode), end to end.
+        # Headline device tier: the production frame path end to end on
+        # the engines that win on THIS link (hybrid encode + pallas
+        # decode — see bench_device_frames' docstring; the split engines
+        # are the kernel-rate tiers above).
         try:
             signal.alarm(args.device_budget_s // 3)
             dev_corpus = corpus[:dev_size]

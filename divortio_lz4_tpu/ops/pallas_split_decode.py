@@ -406,11 +406,38 @@ def decode_chain_chunk_split(lit_tail: jax.Array, recs: jax.Array,
     Returns (out u8[chunk_cap], win_next u8[W]).
     """
     lit = jnp.concatenate([window, lit_tail])[None]
+    # nb=1 must satisfy decode_blocks_split's interleave-width contract —
+    # pad rows to `ways` with no-op blocks rather than relying on the
+    # SMEM/VMEM budget constants happening to force ways == 1.
+    ways = plan_ways(recs.shape[1], lit.shape[1])
+    if ways > 1:
+        lit = jnp.concatenate(
+            [lit, jnp.zeros((ways - 1,) + lit.shape[1:], lit.dtype)])
+        noop = jnp.full((ways - 1,) + recs.shape[1:], NOOP_W0, recs.dtype)
+        recs = jnp.concatenate([recs, noop])
     out = decode_blocks_split(lit, recs, trips, chunk_cap, True, interpret)
     flat = jnp.concatenate([window.astype(jnp.int32),
                             out[0]]).astype(jnp.uint8)
     win_next = jax.lax.dynamic_slice(flat, (total,), (W,))
     return out[0].astype(jnp.uint8), win_next
+
+
+def build_sorted_batch(counts: np.ndarray, ways: int):
+    """The production interleave grouping, shared by every batching call
+    site (frame path, streaming decoder, bench): blocks sorted by record
+    count so groups run similar trip counts, padded to a `ways` multiple
+    by repeating the last index, per-group max as the trip bound.
+    Returns (order_p, trips)."""
+    order = np.argsort(counts, kind="stable")
+    pad = (-len(order)) % ways
+    order_p = np.concatenate(
+        [order, np.full(pad, order[-1] if len(order) else 0, np.int64)]) \
+        if pad else order
+    nsteps = len(order_p) // ways
+    cs = counts[order_p] if len(order_p) else np.zeros(0, np.int32)
+    trips = np.array([int(cs[g * ways:(g + 1) * ways].max(initial=0))
+                      for g in range(nsteps)], np.int32)
+    return order_p, trips
 
 
 def decode_wire_blocks(comps, block_size: int,
@@ -423,14 +450,7 @@ def decode_wire_blocks(comps, block_size: int,
         interpret = jax.default_backend() != "tpu"
     lit, recs, counts, out_lens, uh = parse_block_batch(comps, block_size)
     ways = plan_ways(recs.shape[1], lit.shape[1])
-    order = np.argsort(counts, kind="stable")
-    pad = (-len(order)) % ways
-    order_p = np.concatenate([order, np.full(pad, order[-1], np.int64)]) \
-        if pad else order
-    nsteps = len(order_p) // ways
-    counts_s = counts[order_p]
-    trips = np.array([int(counts_s[g * ways:(g + 1) * ways].max())
-                      for g in range(nsteps)], np.int32)
+    order_p, trips = build_sorted_batch(counts, ways)
     out = decode_blocks_split(jnp.asarray(lit[order_p]),
                               jnp.asarray(recs[order_p]),
                               jnp.asarray(trips), block_size, uh, interpret)

@@ -829,8 +829,13 @@ def _decode_chain_split(buf, pieces, window, block_max) -> np.ndarray:
     tail_bytes = io_bytes - SP_W
 
     win = np.zeros(SP_W, np.uint8)
+    hist_avail = 0  # true history behind the current chunk (for offset
+    #                 validation — the io window is zero-filled where no
+    #                 history exists yet, and the host tier REJECTS
+    #                 back-references into it; match that taxonomy)
     if window is not None and len(window):
         win[SP_W - len(window):] = window[-SP_W:]
+        hist_avail = min(len(window), SP_W)
     d_win = jnp.asarray(win)
 
     parts = []
@@ -857,7 +862,7 @@ def _decode_chain_split(buf, pieces, window, block_max) -> np.ndarray:
                 r, got = parse_records(buf[off: off + wl],
                                        lit_tail[base:],
                                        _CHAIN_CHUNK_CAP - base,
-                                       SP_W + base)
+                                       hist_avail + base)
                 if got != ol:
                     raise ValueError("LZ4: Malformed Input")
                 if nrec + len(r) > _CHAIN_REC_CAP:
@@ -876,6 +881,7 @@ def _decode_chain_split(buf, pieces, window, block_max) -> np.ndarray:
             jnp.asarray(np.array([nrec], np.int32)), d_win,
             jnp.int32(base), _CHAIN_CHUNK_CAP, interpret)
         parts.append((out, base))
+        hist_avail = min(SP_W, hist_avail + base)
     if not parts:
         return np.empty(0, np.uint8)
     return np.concatenate([np.asarray(o)[:b] for o, b in parts])
@@ -973,7 +979,7 @@ def _decode_independent_split(buf, blocks, bs, window=None,
         trips = np.array([int(cnt_s[g * ways:(g + 1) * ways].max(initial=0))
                           for g in range(nsteps)], np.int32)
         out = dec_fn(jnp.asarray(lit[stripe]), jnp.asarray(recs[stripe]),
-                     jnp.asarray(trips), use_history)
+                     jnp.asarray(trips), use_history, bs)
         out_np = np.asarray(out).astype(np.uint8)
         outs = [None] * nb
         for k, b in enumerate(stripe):
@@ -1001,9 +1007,8 @@ def _decode_independent_split(buf, blocks, bs, window=None,
             pad_r[..., 1] = NOOP_W1
             recs_c = np.concatenate([recs_c, pad_r.view(np.int32)])
             cnt_c = np.concatenate([cnt_c, np.zeros(pad, np.int32)])
-        nsteps = target // ways
-        trips = np.array([int(cnt_c[g * ways:(g + 1) * ways].max())
-                          for g in range(nsteps)], np.int32)
+        from ..ops.pallas_split_decode import build_sorted_batch
+        _, trips = build_sorted_batch(cnt_c, ways)  # cnt_c is pre-sorted
         out = decode_blocks_split(
             jnp.asarray(lit_c), jnp.asarray(recs_c), jnp.asarray(trips),
             bs, use_history, interpret).astype(jnp.uint8)

@@ -197,27 +197,27 @@ class ShardedCodec:
             return out[:nb], out_len[:nb]
         if self._use_best:
             # Split path: one sharded dispatch of the interleaved copy
-            # kernel (host parse -> striped rows over the mesh). Falls
-            # back to the interpreter path for unsupported shapes.
-            from .device import _SPLIT_MAX_BS
-            bs = self.config.resolved_block_size
-            if bs <= _SPLIT_MAX_BS:
-                return device_decompress_frame(
-                    data, verify_checksum, dictionary=dictionary,
-                    engine="split",
-                    split_sharded=(self.ndev, self._dec_split))
+            # kernel (host parse -> striped rows over the mesh). The
+            # kernel's output capacity comes from the FRAME header's
+            # block size (passed through by the device layer), not this
+            # codec's config — frames written with a different block
+            # size must not truncate.
+            return device_decompress_frame(
+                data, verify_checksum, dictionary=dictionary,
+                engine="split",
+                split_sharded=(self.ndev, self._dec_split))
         return device_decompress_frame(data, verify_checksum, decode_batch,
                                        dictionary=dictionary)
 
-    def _dec_split(self, lit, recs, trips, use_history: bool):
+    def _dec_split(self, lit, recs, trips, use_history: bool, bs: int):
         """shard_map'd split decode over the mesh (rows pre-striped and
-        padded to ndev*ways by the device layer)."""
+        padded to ndev*ways by the device layer); *bs* is the FRAME's
+        block size."""
         from ..ops.pallas_split_decode import decode_blocks_split
 
-        bs = self.config.resolved_block_size
         interp = jax.default_backend() != "tpu"
         mesh, axis = self.mesh, self.axis
-        key = (lit.shape[1], recs.shape[1], bool(use_history))
+        key = (lit.shape[1], recs.shape[1], bool(use_history), bs)
         if not hasattr(self, "_dec_split_cache"):
             self._dec_split_cache = {}
         if key not in self._dec_split_cache:

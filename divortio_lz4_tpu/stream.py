@@ -205,30 +205,49 @@ class LZ4Encoder:
                                        encode_blocks_chain)
 
         bs = self._block_size
-        work = payload.astype(np.int32).reshape(nfull, bs)
-        lens = np.full(nfull, bs, np.int32)
-        chains = np.asarray(encode_blocks_chain(work, lens, bs, 0, 0))
+        # Canonical 32-row dispatch shape: one compile serves any burst
+        # size (each new shape costs 30s-10min through the remote-compile
+        # relay — CLAUDE.md). Padding rows carry len 0 and are skipped.
+        CH = 32
+        nbp = -(-nfull // CH) * CH
+        work = np.zeros((nbp, bs), np.int32)
+        work[:nfull] = payload.astype(np.int32).reshape(nfull, bs)
+        lens = np.zeros(nbp, np.int32)
+        lens[:nfull] = bs
+        chains = []
+        for i in range(0, nbp, CH):
+            chains.append(encode_blocks_chain(
+                work[i: i + CH], lens[i: i + CH], bs, 0, 0))
+        chains = np.concatenate([np.asarray(c) for c in chains])
         outputs: List[bytes] = []
         for i in range(nfull):
             row = payload[i * bs: (i + 1) * bs]
             wk = np.zeros(bs + 8, np.uint8)
             wk[:bs] = row
             comp = chain_select_serialize(wk, 0, bs, chains[i])
-            n = len(comp)
-            out = np.empty(4 + max(n, bs) + 4, np.uint8)
-            if 0 < n < bs:
-                write_u32le(out, 0, n)
-                out[4: 4 + n] = comp
-                end = 4 + n
-            else:
-                write_u32le(out, 0, bs | UNCOMPRESSED_FLAG)
-                out[4: 4 + bs] = row
-                end = 4 + bs
-            if self.config.block_checksums:
-                write_u32le(out, end, xxhash32(out[4:end], 0))
-                end += 4
-            outputs.append(bytes(out[:end]))
+            outputs.append(self._frame_block_bytes(comp, row))
         return outputs
+
+    def _frame_block_bytes(self, comp: np.ndarray,
+                           payload: np.ndarray) -> bytes:
+        """Wire framing for one already-compressed block: size word,
+        stored fallback, optional block checksum (the same tail
+        _flush_block composes in place around its compress destination)."""
+        n = len(payload)
+        clen = len(comp)
+        out = np.empty(4 + max(clen, n) + 4, np.uint8)
+        if 0 < clen < n:
+            write_u32le(out, 0, clen)
+            out[4: 4 + clen] = comp
+            end = 4 + clen
+        else:
+            write_u32le(out, 0, n | UNCOMPRESSED_FLAG)
+            out[4: 4 + n] = payload
+            end = 4 + n
+        if self.config.block_checksums:
+            write_u32le(out, end, xxhash32(out[4:end], 0))
+            end += 4
+        return bytes(out[:end])
 
     # Alias for drop-in familiarity with the reference's test-suite name.
     update = add
@@ -422,11 +441,12 @@ class LZ4Decoder:
             elif self._state == _S_BLOCK_SIZE:
                 if len(self._buf) < 4:
                     break
-                if (self._device and (self._flg & FLG_BLOCK_INDEPENDENCE)
-                        and self._dict is None
-                        and self._block_max <= 262144
-                        and self._try_batch_decode(outputs)):
-                    continue
+                if self._device and (self._flg & FLG_BLOCK_INDEPENDENCE) \
+                        and self._dict is None:
+                    from .parallel.device import _SPLIT_MAX_BS
+                    if self._block_max <= _SPLIT_MAX_BS \
+                            and self._try_batch_decode(outputs):
+                        continue
                 word = read_u32le(self._buf, 0)
                 del self._buf[:4]
                 if word == 0:
@@ -513,6 +533,14 @@ class LZ4Decoder:
             p += 4 + bsize + ck
         if len(spans) < _DEVICE_MIN_BLOCKS:
             return False
+        # Batch a pow2 bucket of blocks (shape-canonical dispatches — see
+        # the encoder note); the remainder stays buffered for the next
+        # update()/FSM pass.
+        b = _DEVICE_MIN_BLOCKS
+        while b * 2 <= min(len(spans), 64):
+            b *= 2
+        spans = spans[:b]
+        p = spans[-1][3] + (4 if self._has_block_checksum else 0)
         from .ops.pallas_split_decode import decode_wire_blocks
         buf_np = np.frombuffer(bytes(self._buf[:p]), np.uint8)
         if self._has_block_checksum and self.verify_checksum:

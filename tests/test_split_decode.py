@@ -280,3 +280,42 @@ def test_chain_split_giant_rle_falls_back(rng):
     frame = np.asarray(lz4.compress(corpus, config=cfg))
     out = device_decompress_frame(frame, engine="split")
     np.testing.assert_array_equal(np.asarray(out), corpus)
+
+
+def test_chain_split_rejects_oob_backref():
+    """A linked frame whose first sequence back-references before the
+    stream start (no dictionary) must raise the host taxonomy on the
+    chain-split path too — not silently decode zeros (r3 review fix)."""
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+    from divortio_lz4_tpu.xxh import xxhash32
+
+    # hand-built: lit 5 "HELLO", match offset 16 (OOB), mlen 4; trailing
+    # lit 5 "WORLD"
+    block = bytes([0x50]) + b"HELLO" + bytes([0x10, 0x00]) \
+        + bytes([0x50]) + b"WORLD"
+    desc = bytes([0x40, 0x40])  # linked, 64KB
+    hc = bytes([(xxhash32(np.frombuffer(desc, np.uint8), 0) >> 8) & 0xFF])
+    frame = (bytes([0x04, 0x22, 0x4D, 0x18]) + desc + hc
+             + len(block).to_bytes(4, "little") + block
+             + b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="Dictionary Offset|Malformed"):
+        lz4.decompress(np.frombuffer(frame, np.uint8))
+    with pytest.raises(ValueError, match="Dictionary Offset|Malformed"):
+        device_decompress_frame(np.frombuffer(frame, np.uint8),
+                                engine="split")
+
+
+def test_sharded_split_decode_respects_frame_block_size(compressible):
+    """ShardedCodec configured with one block size must decode frames
+    written with ANOTHER block size bit-exactly (r3 review fix: the
+    kernel's output capacity comes from the frame header, not the codec
+    config)."""
+    from divortio_lz4_tpu.parallel.sharding import ShardedCodec, make_mesh
+
+    corpus = np.asarray(compressible(120000))
+    frame_cfg = lz4.FrameConfig(block_size=65536, block_independence=True)
+    frame = np.asarray(lz4.compress(corpus, config=frame_cfg))
+    codec = ShardedCodec(make_mesh(), lz4.FrameConfig(
+        block_size=4096, block_independence=True), engine="best")
+    out = codec.decompress(frame)
+    np.testing.assert_array_equal(np.asarray(out), corpus)
