@@ -128,9 +128,11 @@ def device_compress_frame(data,
     if engine == "split" and encode_batch is None:
         from ..ops.hybrid_encode import hybrid_max_bs
         _bs = config.resolved_block_size
-        if config.block_independence and _bs <= hybrid_max_bs():
-            return _compress_independent_split(data, config, dictionary)
-        # Linked frames / big blocks: the hybrid machinery covers them.
+        if _bs <= hybrid_max_bs():
+            if config.block_independence:
+                return _compress_independent_split(data, config, dictionary)
+            return _compress_linked_split(data, config, dictionary)
+        # Big blocks: the hybrid segment+splice machinery covers them.
         engine = "hybrid"
     if engine == "hybrid" and encode_batch is None:
         import jax as _jax
@@ -275,7 +277,16 @@ def _compress_independent_split(data, config: FrameConfig,
         for f in futs:
             f.result()
 
-    # Frame assembly (host): header / size words / stored fallback / EndMark
+    return _assemble_frame_host(raw, comps, lens, nblocks, bs, config,
+                                dict_id)
+
+
+def _assemble_frame_host(raw, comps, lens, nblocks, bs, config,
+                         dict_id) -> np.ndarray:
+    """Host frame assembly over per-block wire streams: header, size
+    words, stored fallback, optional block checksums, EndMark, content
+    checksum."""
+    n = len(raw)
     frame = np.empty(19 + n + (n // 255) + 16 * max(nblocks, 1) + 8,
                      np.uint8)
     header = _frame_header_bytes(config, n, dict_id)
@@ -306,6 +317,75 @@ def _compress_independent_split(data, config: FrameConfig,
         write_u32le(frame, pos, xxhash32(raw, 0))
         pos += 4
     return frame[:pos]
+
+
+def _compress_linked_split(data, config: FrameConfig,
+                           dictionary=None) -> np.ndarray:
+    """Linked-frame encode via the chain-direct path: per-block
+    [history | payload] rows (the linked chain's serialism is an
+    encoder-side illusion — block i's window is known plaintext, see
+    _compress_linked), device candidate chains, host select/serialize.
+    Wire byte-identical to engine='hybrid' linked frames."""
+    from ..ops.split_encode import chain_select_serialize, encode_blocks_chain
+
+    raw = ensure_buffer(data)
+    n = len(raw)
+    bs = config.resolved_block_size
+    work, lens, nblocks = _blocks_to_batch(raw, bs)
+    window, dict_id = _dict_window(dictionary)
+    dict_len = len(window) if window is not None else 0
+
+    W = WINDOW_SIZE
+    hist = np.zeros((nblocks, W), np.uint8)
+    for i in range(nblocks):
+        avail = min(i * bs, W)
+        if avail > 0:
+            hist[i, W - avail:] = raw[i * bs - avail: i * bs]
+        room = W - avail
+        take = min(dict_len, room)
+        if take > 0:
+            hist[i, room - take: room] = window[dict_len - take:]
+    work_h = np.concatenate([hist, work], axis=1)
+    valid = np.minimum(np.arange(nblocks, dtype=np.int64) * bs + dict_len, W)
+    hist_start = (W - valid).astype(np.int32)
+
+    CH = _FRAME_CHUNK_ROWS
+    pend = []
+    for i in range(0, nblocks, CH):
+        rows = min(CH, nblocks - i)
+        target = CH if nblocks > CH else _chunk_rows_bucket(rows)
+        w = work_h[i: i + rows]
+        l = lens[i: i + rows]
+        hs = hist_start[i: i + rows]
+        if rows < target:
+            w = np.concatenate(
+                [w, np.zeros((target - rows,) + w.shape[1:], w.dtype)])
+            l = np.concatenate([l, np.zeros(target - rows, np.int32)])
+            hs = np.concatenate([hs, np.full(target - rows, W, np.int32)])
+        pend.append((i, rows,
+                     encode_blocks_chain(w, l, bs, W, jnp.asarray(hs))))
+
+    comps = [None] * nblocks
+
+    def _serialize_one(b, chains_np, k):
+        src_len = int(lens[b])
+        wk = np.zeros(W + src_len + 8, np.uint8)
+        wk[:W] = hist[b]
+        wk[W: W + src_len] = raw[b * bs: b * bs + src_len]
+        comps[b] = chain_select_serialize(wk, W, src_len, chains_np[k])
+
+    from concurrent.futures import ThreadPoolExecutor
+    import os as _os
+    with ThreadPoolExecutor(min(_os.cpu_count() or 1, 8)) as ex:
+        futs = []
+        for i, rows, chains in pend:
+            chains_np = np.asarray(chains)
+            for k in range(rows):
+                futs.append(ex.submit(_serialize_one, i + k, chains_np, k))
+        for f in futs:
+            f.result()
+    return _assemble_frame_host(raw, comps, lens, nblocks, bs, config,
+                                dict_id)
 
 
 # Device-dispatch granularity for the frame paths: fixed-shape chunks keep

@@ -223,3 +223,79 @@ def test_pallas_frame_decode_truncation_fuzz(compressible):
                                     engine="pallas")
         except (ValueError, IndexError) as e:
             _assert_taxonomy(e)
+
+
+def test_split_frame_decode_mutation_fuzz(compressible, rng):
+    """Mutated INDEPENDENT frames through engine='split' (host record
+    parse + interleaved copy kernel): the parser raises the host taxonomy
+    on malformed streams; surviving mutations decode to bounded data."""
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    base = bytes(compress_frame(
+        compressible(3000),
+        config=FrameConfig(block_size=65536, block_independence=True)))
+    for _ in range(15):
+        buf = bytearray(base)
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = device_decompress_frame(np.frombuffer(bytes(buf), np.uint8),
+                                          engine="split")
+            assert len(out) <= 65536
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
+
+
+def test_split_linked_frame_decode_mutation_fuzz(compressible, rng):
+    """Mutated LINKED frames through the chain-split decoder (piece scan +
+    per-piece host parse + chained chunks)."""
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    data = np.asarray(compressible(150000))
+    base = bytes(compress_frame(
+        data, config=FrameConfig(block_size=65536,
+                                 block_independence=False)))
+    nblocks = -(-len(data) // 65536)
+    for _ in range(10):
+        buf = bytearray(base)
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = device_decompress_frame(np.frombuffer(bytes(buf), np.uint8),
+                                          engine="split")
+            assert len(out) <= nblocks * 65536
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
+
+
+def test_split_frame_decode_truncation_fuzz(compressible):
+    from divortio_lz4_tpu.parallel import device_decompress_frame
+
+    base = bytes(compress_frame(
+        compressible(3000),
+        config=FrameConfig(block_size=65536, block_independence=True,
+                           content_checksum=True)))
+    for cut in range(0, len(base), 29):
+        try:
+            device_decompress_frame(np.frombuffer(base[:cut], np.uint8),
+                                    engine="split")
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)
+
+
+def test_device_streaming_decoder_mutation_fuzz(compressible, rng):
+    """Mutated frames through LZ4Decoder(backend='device') — the batch
+    scanner + split kernel must reject or bound, never crash."""
+    from divortio_lz4_tpu.stream import LZ4Decoder
+
+    data = np.asarray(compressible(400000))
+    base = bytes(compress_frame(
+        data, config=FrameConfig(block_size=65536, block_independence=True,
+                                 content_checksum=True)))
+    for _ in range(8):
+        buf = bytearray(base)
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        dec = LZ4Decoder(backend="device")
+        try:
+            got = b"".join(bytes(c) for c in dec.update(bytes(buf)))
+            assert len(got) <= len(data) + 65536
+        except (ValueError, IndexError) as e:
+            _assert_taxonomy(e)

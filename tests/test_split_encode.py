@@ -172,3 +172,25 @@ def test_device_streaming_engines(compressible, rng):
     for i in range(0, len(frame), 150_000):
         got += b"".join(bytes(c) for c in dec.update(frame[i: i + 150_000]))
     assert got == corpus.tobytes()
+
+def test_chain_encode_linked_frame(compressible):
+    """engine='split' covers LINKED frames natively (per-block known-
+    plaintext history rows) — byte-identical to the hybrid linked path."""
+    from divortio_lz4_tpu.parallel.device import device_compress_frame
+
+    corpus = np.asarray(compressible(150000))
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=False)
+    f = device_compress_frame(corpus, cfg, engine="split")
+    h = device_compress_frame(corpus, cfg, engine="hybrid")
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(h))
+    out = lz4.decompress(np.asarray(f))
+    np.testing.assert_array_equal(np.asarray(out), corpus)
+    assert len(f) <= len(lz4.compress(corpus, config=cfg))
+    # dictionary + checksums
+    d = bytes(corpus[:4096].tobytes())
+    cfgc = lz4.FrameConfig(block_size=65536, block_independence=False,
+                           content_checksum=True, block_checksums=True)
+    fd = device_compress_frame(corpus[:80000], cfgc, engine="split",
+                               dictionary=d)
+    out = lz4.decompress(np.asarray(fd), dictionary=d)
+    np.testing.assert_array_equal(np.asarray(out), corpus[:80000])
