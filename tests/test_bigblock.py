@@ -172,3 +172,22 @@ def test_big_roundtrip_device_both_directions():
     frame = device_compress_frame(raw, cfg, engine="hybrid")
     out = device_decompress_frame(frame, engine="pallas")
     assert np.array_equal(out, raw)
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="real-TPU parity marker — runs only on hardware; the round-3 "
+           "BENCH device-bigblock tier exercises this path on every "
+           "driver run (4 MB blocks encode 0.903x ratio, decode "
+           "bit-exact, measured on v5e)")
+def test_bigblock_real_tpu_parity(compressible):
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.parallel.bigblock import compress_frame_big
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    corpus = np.asarray(compressible(4_500_000))
+    cfg = lz4.FrameConfig(block_size=4194304, block_independence=True)
+    frame = compress_frame_big(corpus, cfg)
+    assert len(frame) <= len(lz4.compress(corpus, config=cfg))
+    out = device_decompress_frame(frame, engine="split")
+    np.testing.assert_array_equal(np.asarray(out), corpus)
