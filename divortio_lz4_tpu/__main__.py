@@ -31,6 +31,9 @@ def main(argv=None):
     c.add_argument("-D", "--dictionary", default=None)
     c.add_argument("--device", action="store_true",
                    help="run the block codec on the TPU device path")
+    c.add_argument("--engine", default="split",
+                   choices=["split", "hybrid", "pallas", "xla"],
+                   help="device engine (with --device)")
 
     d = sub.add_parser("decompress", help="decompress an LZ4 frame file")
     d.add_argument("input")
@@ -38,6 +41,9 @@ def main(argv=None):
     d.add_argument("-D", "--dictionary", default=None)
     d.add_argument("--no-verify", action="store_true")
     d.add_argument("--device", action="store_true")
+    d.add_argument("--engine", default="split",
+                   choices=["split", "pallas", "xla"],
+                   help="device engine (with --device)")
 
     b = sub.add_parser("bench", help="run the benchmark harness")
     b.add_argument("--quick", action="store_true")
@@ -102,7 +108,8 @@ def main(argv=None):
             with open(args.input, "rb") as f:
                 data = np.frombuffer(f.read(), np.uint8)
             frame = device_compress_frame(
-                data, cfg.with_(block_independence=True))
+                data, cfg.with_(block_independence=True),
+                engine=args.engine)
             with open(out_path, "wb") as f:
                 f.write(bytes(frame))
             in_size, out_size = len(data), len(frame)
@@ -122,7 +129,8 @@ def main(argv=None):
             from .parallel import device_decompress_frame
             with open(args.input, "rb") as f:
                 data = np.frombuffer(f.read(), np.uint8)
-            plain = device_decompress_frame(data, not args.no_verify)
+            plain = device_decompress_frame(data, not args.no_verify,
+                                            engine=args.engine)
             with open(out_path, "wb") as f:
                 f.write(bytes(plain))
             in_size, out_size = len(data), len(plain)
