@@ -368,12 +368,24 @@ def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
     ch = chains_fn()
     _ = int(jnp.sum(ch[0, :8]))
     ch_np = np.asarray(ch)
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(nb):
+
+    # Thread-parallel select/serialize, as the production frame path does
+    # (parallel/device.py _compress_independent_split): the native selector
+    # releases the GIL, so blocks serialize concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+    import os as _os
+    nthreads = min(_os.cpu_count() or 1, 8)
+
+    def _ser_one(i):
         wk = np.zeros(block_size + 8, np.uint8)
         wk[:block_size] = corpus[i * block_size:(i + 1) * block_size]
-        outs.append(chain_select_serialize(wk, 0, block_size, ch_np[i]))
+        return chain_select_serialize(wk, 0, block_size, ch_np[i])
+
+    with ThreadPoolExecutor(nthreads) as ex:
+        outs = list(ex.map(_ser_one, range(nb)))
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(nthreads) as ex:
+        outs = list(ex.map(_ser_one, range(nb)))
     t_ser = time.perf_counter() - t0
     comp = sum(len(o) for o in outs)
     ref_total = 0

@@ -91,9 +91,33 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     a match (u16, payload-relative) and dist its offset — or m = 0xFFFF when
     no matchable position remains (0xFFFF >= any mf_limit, so the walk's
     ``m < mf_limit`` test terminates on it naturally).
+
+    ONE 3-operand sort (round 4; the round-3 builder ran a 3-operand sort
+    for the nearest chain plus a 6-operand scored sort for the
+    interior-excluded chain — 51 ms of a 66 ms 4 MB encode). Everything
+    rides two uint32 keys plus one packed payload:
+
+      key 1  w     — the 4-byte window word (candidates = same-word preds);
+      key 2  idx2  — ``bad<<31 | interior<<30 | idx<<13 | fp16_13``:
+                     within a word, non-interior sources sort first (by
+                     position), then run interiors, then invalid positions
+                     — so a non-interior receiver's sort predecessors are
+                     exactly the old chain B's candidate set, an interior
+                     receiver's predecessor-1 is the nearest interior (the
+                     old chain A's in-run answer), and invalid positions
+                     can never sit between real candidates. The low 13
+                     bits carry the 16-byte-prefix fingerprint tier for
+                     free (idx above them keeps the order exact);
+      payload sAB  — 64-byte tier (high 16) | 256-byte tier (low 16).
+
+    Truncated fingerprints only ever INFLATE a score on collision
+    (2^-13 / 2^-16 per compare); the walk computes the true extension, so
+    ratio noise is the only exposure — fenced by the adversarial ratio
+    gate (tests/test_hybrid_encode.py) and the bench's <=-reference assert.
     """
     N = work.shape[0]
     cap = N - hist_len
+    assert N <= (1 << 17), "idx2 packs positions in 17 bits"
     idx = jnp.arange(N, dtype=jnp.int32)
     s_end = hist_len + src_len
     mf_limit = s_end - MF_LIMIT
@@ -103,18 +127,16 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
          + (jnp.concatenate([b[2:], jnp.zeros(2, b.dtype)]) << 16)
          + (jnp.concatenate([b[3:], jnp.zeros(3, b.dtype)]) << 24)
          ).astype(jnp.uint32)
-    invalid = ((idx + MIN_MATCH > s_end) | (idx < hist_start)
-               ).astype(jnp.int32)
+    invalid = (idx + MIN_MATCH > s_end) | (idx < hist_start)
 
     # Prefix-fingerprint scoring: h_d[p] hashes the WHOLE range [p, p+d)
     # (polynomial rolling hash, the encode_xla.py LCE machinery), so a
     # candidate's sampled LCE is the longest d with equal fingerprints —
     # contiguous coverage, no blind spots (word samples at sparse offsets
     # missed single-byte mutations between samples; measured on the
-    # period-53 trap corpus). Carried through the sort as VALUE operands —
-    # no gathers. A hash collision only inflates a score; the walk computes
-    # the true extension. Equality with the zero padding past s_end only
-    # affects scores of tail positions the walk clamps anyway.
+    # period-53 trap corpus). Carried through the sort, never gathered.
+    # Equality with the zero padding past s_end only affects scores of
+    # tail positions the walk clamps anyway.
     from .encode_xla import _B1, _B1_INV, _pows
     inv1 = _pows(_B1_INV, N + 1)
     pw1 = _pows(_B1, N + 1)
@@ -126,88 +148,74 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
         hi = jnp.concatenate([c1[d:], jnp.zeros(max(d - 1, 0), jnp.uint32)])
         return (hi[:N] - c1[:N]) * pw1[:N]
 
-    # Three payload words, each hash-combining two prefix tiers (sort cost
-    # scales with operand count; coarser tiers — 16/64/256 — still
-    # discriminate the period-53 mutation trap: the winning source's first
-    # divergence sits a full tier further out).
-    SAMPLE_D = (16, 64, 256)
-    samples = tuple(
-        _range_hash(d // 2) * jnp.uint32(0x9E3779B1) + _range_hash(d)
-        for d in SAMPLE_D)
-    # Which sort-predecessors to score. The nearest previous occurrence is
-    # NOT always the best source: on mutated-periodic data the reference's
+    # Each tier hash-combines two prefix ranges (d/2 and d) — coarse tiers
+    # (16/64/256) still discriminate the period-53 mutation trap: the
+    # winning source's first divergence sits a full tier further out.
+    def _tier(d):
+        return _range_hash(d // 2) * jnp.uint32(0x9E3779B1) + _range_hash(d)
+
+    t16, t64, t256 = _tier(16), _tier(64), _tier(256)
+    fp13 = (t16 * jnp.uint32(0x85EBCA77)) >> 19            # 13-bit tier 16
+    sAB = (t64 & jnp.uint32(0xFFFF0000)) | (t256 >> 16)    # 16+16 payload
+
+    # Run-interior positions (word repeats within 4 bytes) are POISON
+    # sources for anything but in-run anchors: their extensions die at the
+    # run boundary, while the run START's extension propagates through the
+    # whole periodic region — measured 55x worse ratio on period-53 data
+    # with nearest-any candidates (docs/DESIGN.md). The idx2 interior bit
+    # hides them from non-interior receivers while keeping them nearest-
+    # ordered for in-run anchors (any in-run distance extends to the run
+    # end, so nearest wins there).
+    interior = jnp.zeros(N, bool)
+    for p in (1, 2, 3, 4):
+        interior = interior.at[p:].set(interior[p:] | (w[p:] == w[:-p]))
+
+    idx2 = (jnp.where(invalid, jnp.uint32(1) << 31, jnp.uint32(0))
+            | jnp.where(interior, jnp.uint32(1) << 30, jnp.uint32(0))
+            | (idx.astype(jnp.uint32) << 13) | fp13)
+
+    sw, si2, ssAB = jax.lax.sort((w, idx2, sAB), num_keys=2)
+    si = ((si2 >> 13) & jnp.uint32(0x1FFFF)).astype(jnp.int32)
+
+    def shifted(a, k, fill=0):
+        return jnp.concatenate(
+            [jnp.full(k, fill, a.dtype), a[:-k]])
+
+    # Which sort-predecessors to score: the nearest previous occurrence is
+    # NOT always the best source — on mutated-periodic data the reference's
     # stale 16K table lands on mutation-phase-aligned sources whose matches
     # extend THROUGH the mutations (measured 1.34x worse than the reference
     # with nearest-only on period-53 + mutation-every-200 corpora — the
     # adversarial ratio gate in tests/test_hybrid_encode.py pins this).
     PREDS = (1, 2, 3, 4, 6, 8)
-
-    def nearest_prev(bad, scored):
-        """Previous identical-word position among non-*bad* positions.
-
-        scored=False: the plain sort predecessor (nearest) — 3 operands.
-        scored=True: the sort predecessor at distance k in {1,2,3,4,6,8}
-        with the longest sampled LCE (ties -> nearest) — +3 payloads.
-        -1 where none."""
-        ops = (bad, w, idx) + (samples if scored else ())
-        sorted_ops = jax.lax.sort(ops, num_keys=3)
-        sbad, sw, si = sorted_ops[:3]
-        ss = sorted_ops[3:]
-        good = sbad == 0
-
-        def shifted(a, k):
-            return jnp.concatenate([jnp.zeros(k, a.dtype), a[:-k]])
-
-        if not scored:
-            ok = good & shifted(good, 1) & (shifted(sw, 1) == sw)
-            cand_sorted = jnp.where(ok, shifted(si, 1), -1)
-            return jnp.zeros(N, jnp.int32).at[si].set(cand_sorted)
-
-        best_key = jnp.full(N, -1, jnp.int32)
-        best_cand = jnp.full(N, -1, jnp.int32)
-        for k in PREDS:
-            pw = shifted(sw, k)
-            pi = shifted(si, k)
-            pgood = shifted(good.astype(jnp.int32), k) > 0
-            dist = si - pi
-            ok = good & pgood & (pw == sw) & (dist < WINDOW_SIZE)
-            # approximate LCE: longest run of equal sample tiers
-            sc = jnp.full(N, 4, jnp.int32)
-            m = jnp.ones(N, bool)
-            for d, s in zip(SAMPLE_D, ss):
-                m = m & (shifted(s, k) == s)
-                sc = sc + jnp.where(m, d, 0)
-            key = jnp.where(ok, sc * 16 + (15 - k), -1)
-            better = key > best_key
-            best_key = jnp.where(better, key, best_key)
-            best_cand = jnp.where(better, pi, best_cand)
-        return jnp.zeros(N, jnp.int32).at[si].set(best_cand)
-
-    # Run-interior positions (word repeats within 4 bytes) are POISON
-    # sources: their extensions die at the run boundary, while the run
-    # START's extension propagates through the whole periodic region —
-    # measured 55x worse ratio on period-53 data with nearest-any
-    # candidates (the reference's stale 16K table lands period-aligned
-    # candidates by accident; docs/DESIGN.md). Chain B excludes interiors
-    # as sources (run starts stay eligible); chain A keeps every source so
-    # in-run anchors still match (any in-run distance extends to the run
-    # end). Prefer B when it exists.
-    interior = jnp.zeros(N, bool)
-    for p in (1, 2, 3, 4):
-        interior = interior.at[p:].set(interior[p:] | (w[p:] == w[:-p]))
-    # Chain A (unscored nearest) serves only in-run anchors where chain B
-    # has no candidate — nearest always wins there (any in-run distance
-    # extends to the run end), so it skips the scoring payloads. Chain B
-    # (interior-excluded sources) carries the scores.
-    cand_a = nearest_prev(invalid, scored=False)
-    cand_b = nearest_prev(invalid | interior.astype(jnp.int32), scored=True)
+    best_key = jnp.full(N, -1, jnp.int32)
+    best_cand = jnp.full(N, -1, jnp.int32)
+    for k in PREDS:
+        # Shift fill has the bad bit set: slots before the first k entries
+        # can never take a padding candidate.
+        pi2 = shifted(si2, k, fill=0xFFFFFFFF)
+        pw = shifted(sw, k)
+        pi = ((pi2 >> 13) & jnp.uint32(0x1FFFF)).astype(jnp.int32)
+        pgood = pi2 < (jnp.uint32(1) << 31)
+        dist = si - pi
+        ok = pgood & (pw == sw) & (dist > 0) & (dist < WINDOW_SIZE)
+        # approximate LCE: longest run of equal fingerprint tiers
+        m16 = (pi2 & jnp.uint32(0x1FFF)) == (si2 & jnp.uint32(0x1FFF))
+        psAB = shifted(ssAB, k)
+        m64 = m16 & ((psAB >> 16) == (ssAB >> 16))
+        m256 = m64 & ((psAB & jnp.uint32(0xFFFF))
+                      == (ssAB & jnp.uint32(0xFFFF)))
+        sc = (4 + jnp.where(m16, 16, 0) + jnp.where(m64, 64, 0)
+              + jnp.where(m256, 256, 0))
+        key = jnp.where(ok, sc * 16 + (15 - k), -1)
+        better = key > best_key
+        best_key = jnp.where(better, key, best_key)
+        best_cand = jnp.where(better, pi, best_cand)
+    cand = jnp.zeros(N, jnp.int32).at[si].set(best_cand)
 
     recv_ok = (idx >= hist_len) & (idx < mf_limit)
-    valid_a = (cand_a >= 0) & (idx - cand_a < WINDOW_SIZE) & recv_ok
-    valid_b = (cand_b >= 0) & (idx - cand_b < WINDOW_SIZE) & recv_ok
-    cand = jnp.where(valid_b, cand_b, cand_a)
+    valid = (cand >= 0) & (idx - cand < WINDOW_SIZE) & recv_ok
     dist = idx - cand
-    valid = valid_a | valid_b
 
     # Payload-relative packing + reverse cummin: the minimum of
     # (pos << 16 | dist) over positions >= a is held by the nearest valid
