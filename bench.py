@@ -206,22 +206,26 @@ def bench_device_frames(corpus: np.ndarray, block_size: int, runs: int):
 
 
 def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
-    """Decode figures for the split path (host record parse + interleaved
-    all-vector copy kernel, ops/pallas_split_decode.py).
+    """Decode figures for the WIRE-DIRECT split path (round-4 v2: host
+    record parse + wire-image copy kernel, ops/pallas_split_decode.py).
+    The link ships 1x compressed bytes + ~6 B/sequence records instead of
+    the round-3 placed-literal image.
 
-    Blocks are host-encoded (reference-identical bytes). Reports BOTH a
+    Blocks are host-encoded (reference-identical bytes). Reports a
     single-dispatch wall time (includes this host link's ~30 ms fixed
-    dispatch+sync round trip — the realistic per-call figure on the
-    tunneled chip) and an AMORTIZED kernel rate (R queued repetitions, one
-    sync — the figure a normal PCIe host sees). Returns
-    (bytes, t_single, t_kernel_amortized, t_parse).
+    dispatch+sync round trip), an AMORTIZED kernel rate (R queued
+    repetitions, one sync — the figure a normal PCIe host sees), the host
+    parse time (overlaps the previous batch's kernel in the frame path),
+    and the shipped-bytes ratio vs plaintext. Returns
+    (bytes, t_single, t_kernel_amortized, t_parse, wire_ratio).
     """
     import jax
     import jax.numpy as jnp
 
     import divortio_lz4_tpu as lz4
     from divortio_lz4_tpu.ops.pallas_split_decode import (
-        decode_blocks_split, parse_block_batch, plan_ways)
+        SLACK, _round_up, build_sorted_batch, decode_blocks_wire,
+        parse_wire_batch, plan_ways_wire)
 
     n = len(corpus)
     nfull = n // block_size
@@ -241,26 +245,32 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         raise ValueError("corpus has no compressible blocks")
 
     t0 = time.perf_counter()
-    lit, recs, counts, out_lens, uh = parse_block_batch(comps, block_size)
+    wire, recs, counts, out_lens, _ = parse_wire_batch(
+        [(c, False) for c in comps], block_size)
     t_parse = time.perf_counter() - t0
 
-    from divortio_lz4_tpu.ops.pallas_split_decode import build_sorted_batch
-    ways = plan_ways(recs.shape[1], lit.shape[1])
+    rw = 2 if recs.dtype == np.uint16 else 3
+    ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1],
+                          _round_up(block_size + SLACK, 1024), 0)
     order_p, trips = build_sorted_batch(counts, ways)
-    d_lit = jax.device_put(jnp.asarray(lit[order_p]))
+    d_wire = jax.device_put(jnp.asarray(wire[order_p]))
     d_recs = jax.device_put(jnp.asarray(recs[order_p]))
     d_trips = jax.device_put(jnp.asarray(trips))
+    nb = len(comps)
+    shipped = wire.shape[1] * len(order_p) + recs[order_p].nbytes \
+        + trips.nbytes
+    wire_ratio = shipped / (nb * block_size)
 
     def dec(reps=1):
-        outs = [decode_blocks_split(d_lit, d_recs, d_trips, block_size,
-                                    uh, False) for _ in range(reps)]
+        outs = [decode_blocks_wire(d_wire, d_recs, d_trips, block_size,
+                                   False, None, False)
+                for _ in range(reps)]
         return outs[-1]
 
     out = dec()
-    _ = int(jnp.sum(out[0, :16]))  # hard sync
+    _ = int(jnp.sum(out[0, :16].astype(jnp.int32)))  # hard sync
     # verify bit-exact (every block)
-    out_np = np.asarray(out).astype(np.uint8)
-    nb = len(comps)
+    out_np = np.asarray(out)
     for k in range(len(order_p)):
         b = order_p[k]
         assert np.array_equal(
@@ -273,17 +283,17 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     for _ in range(runs):
         t0 = time.perf_counter()
         out = dec()
-        _ = int(jnp.sum(out[0, :16]))
+        _ = int(jnp.sum(out[0, :16].astype(jnp.int32)))
         ts1.append(time.perf_counter() - t0)
     for _ in range(runs):
         t0 = time.perf_counter()
         out = dec(R)
-        _ = int(jnp.sum(out[0, :16]))
+        _ = int(jnp.sum(out[0, :16].astype(jnp.int32)))
         tsR.append(time.perf_counter() - t0)
     t1 = float(np.median(ts1))
     tR = float(np.median(tsR))
     kern = max((tR - t1) / (R - 1), 1e-9)
-    return nb * block_size, t1, kern, t_parse
+    return nb * block_size, t1, kern, t_parse, wire_ratio
 
 
 def bench_hybrid_encode(corpus: np.ndarray, block_size: int, runs: int):
@@ -579,17 +589,23 @@ def main():
         # device-decode figure even if later tiers blow the budget.
         try:
             signal.alarm(args.device_budget_s // 3)
-            pb, pt1, ptk, ptp = bench_split_decode(
+            pb, pt1, ptk, ptp, pwr = bench_split_decode(
                 corpus[:dev_size], args.block, max(args.runs // 2, 1))
             print(f"bench[device-split-decode/tpu]: {pb / 1e6:.0f}MB "
-                  f"kernel {ptk * 1e3:.1f} ms = {pb / ptk / 1e6:.1f} MB/s "
-                  f"amortized ({pb / pt1 / 1e6:.1f} MB/s single-dispatch "
-                  f"incl. ~30 ms tunnel link; host parse "
-                  f"{ptp * 1e3:.1f} ms)", file=sys.stderr)
+                  f"wire-direct kernel {ptk * 1e3:.1f} ms = "
+                  f"{pb / ptk / 1e6:.1f} MB/s amortized "
+                  f"({pb / pt1 / 1e6:.1f} MB/s single-dispatch incl. "
+                  f"~30 ms tunnel link; host parse {ptp * 1e3:.1f} ms -> "
+                  f"{pb / (ptk + ptp) / 1e6:.1f} MB/s serialized incl. "
+                  f"parse; ships {pwr:.2f}x plaintext bytes)",
+                  file=sys.stderr)
             extra["device_split_decode_kernel_mbps"] = round(
                 pb / ptk / 1e6, 1)
             extra["device_split_decode_single_mbps"] = round(
                 pb / pt1 / 1e6, 1)
+            extra["device_split_decode_incl_parse_mbps"] = round(
+                pb / (ptk + ptp) / 1e6, 1)
+            extra["device_split_wire_ratio"] = round(pwr, 3)
         except (_Timeout, Exception) as e:
             print(f"bench: split decode tier skipped ({e!r})",
                   file=sys.stderr)

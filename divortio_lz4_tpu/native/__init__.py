@@ -100,6 +100,12 @@ _lib.lz4t_parse_records.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
     ctypes.POINTER(ctypes.c_int64)]
 
+_lib.lz4t_parse_records2.restype = ctypes.c_int64
+_lib.lz4t_parse_records2.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64)]
+
 _lib.lz4t_chain_serialize.restype = ctypes.c_int64
 _lib.lz4t_chain_serialize.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -268,6 +274,29 @@ def parse_records_native(src: np.ndarray, lit: np.ndarray, out_cap: int,
     out_len = ctypes.c_int64(0)
     rc = int(_lib.lz4t_parse_records(
         _ptr(src), n, _ptr(lit), out_cap, _ptr(recs), cap, dict_len,
+        ctypes.byref(out_len)))
+    if rc < 0:
+        raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))
+    return recs[:rc], int(out_len.value)
+
+
+def parse_records2_native(src: np.ndarray, out_cap: int, dict_len: int = 0):
+    """Wire-direct record parse (see lz4t_parse_records2): NO literal image
+    — records copy literal slices straight from the compressed bytes, so
+    the device transfer ships 1x wire. Returns (recs u32[nrec, 2], out_len)
+    where recs[k] = (src, offset | ll<<16 | ml<<24); the record's output
+    position is the running sum of (ll+ml). Raises the host error taxonomy
+    on malformed streams."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    n = len(src)
+    # Bound: <= 1 combined + lit chunks + 7 doubling + far chunks per
+    # sequence (>= 3 wire bytes each); full 128-byte chunks are also
+    # bounded by out_cap // 128 overall.
+    cap = (n // 3 + 1) * 9 + out_cap // 128 + 8
+    recs = np.empty((cap, 2), np.uint32)
+    out_len = ctypes.c_int64(0)
+    rc = int(_lib.lz4t_parse_records2(
+        _ptr(src), n, out_cap, _ptr(recs), cap, dict_len,
         ctypes.byref(out_len)))
     if rc < 0:
         raise ValueError(_ERRORS.get(rc, "LZ4: Malformed Input"))

@@ -867,6 +867,150 @@ int64_t lz4t_parse_records(const uint8_t* src, int64_t src_len, uint8_t* lit,
   return nrec;
 }
 
+// Round-4 wire-direct record parser (ops/pallas_split_decode.py v2 path).
+// Unlike lz4t_parse_records above, NO literal image is built: literal bytes
+// stay in the compressed stream (the "wire image" the kernel receives), so
+// the device transfer ships 1x compressed bytes instead of a placed
+// plaintext image. Each record covers up to 128 CONTIGUOUS output bytes —
+// a slice of a literal run copied from the wire plus (optionally) a match
+// copy from prior output:
+//
+//   recs[2k]   = src  (wire byte offset of the literal slice)
+//   recs[2k+1] = offset | ll<<16 | ml<<24      (ll, ml <= 128, ll+ml <= 128)
+//
+// The record's output start (dst) is NOT stored: records tile the output
+// exactly in order, so dst = running sum of (ll+ml) — the device derives it
+// with one cumsum (and the kernel may then write WILD tails past a record's
+// end, since later records rewrite them; the placed-image kernel cannot).
+//
+// RECORD CONTRACT (same Mosaic reasoning as lz4t_parse_records):
+//   * a record's match source [dst+ll-offset, dst+ll-offset+ml) must be
+//     fully written when it executes => offset >= ll+ml for combined
+//     records; far matches (offset >= 128) split into <= 128-byte chunks
+//     whose first chunk absorbs the literal tail; overlap matches
+//     (offset < 128) emit literal records then a log-doubling chain
+//     (off, 2*off, ... — each chunk's source complete when it runs).
+//
+// Validation matches lz4t_decompress_block (same error taxonomy). Returns
+// the record count, or a negative error code; *out_len_out = decoded size.
+int64_t lz4t_parse_records2(const uint8_t* src, int64_t src_len,
+                            int64_t out_cap, uint32_t* recs, int64_t rec_cap,
+                            int64_t dict_len, int64_t* out_len_out) {
+  int64_t p = 0, o = 0, nrec = 0;
+  while (p < src_len) {
+    uint32_t token = src[p++];
+    int64_t lit_len = token >> 4;
+    if (lit_len == 15) {
+      uint32_t b;
+      do {
+        if (p >= src_len) return ERR_MALFORMED;
+        b = src[p++];
+        lit_len += b;
+      } while (b == 255);
+    }
+    if (o + lit_len > out_cap) return ERR_OUTPUT_SMALL;
+    if (p + lit_len > src_len) return ERR_MALFORMED;
+    int64_t lp = p;  // literal slice's wire position
+    o += lit_len;
+    p += lit_len;
+    if (p >= src_len) {
+      // trailing-literals sequence: pure literal records
+      while (lit_len > 0) {
+        int64_t take = lit_len < 128 ? lit_len : 128;
+        if (nrec >= rec_cap) return -6;
+        recs[2 * nrec] = (uint32_t)lp;
+        recs[2 * nrec + 1] = 1u | ((uint32_t)take << 16);
+        nrec++;
+        lp += take;
+        lit_len -= take;
+      }
+      break;
+    }
+
+    if (p + 2 > src_len) return ERR_MALFORMED;
+    int64_t offset = src[p] | (src[p + 1] << 8);
+    p += 2;
+    if (offset == 0) return ERR_OFFSET0;
+    if (offset > o + dict_len) return ERR_DICT_OOB;
+
+    int64_t match_len = token & 0x0F;
+    if (match_len == 15) {
+      uint32_t b;
+      do {
+        if (p >= src_len) return ERR_MALFORMED;
+        b = src[p++];
+        match_len += b;
+      } while (b == 255);
+    }
+    match_len += MIN_MATCH;
+    if (o + match_len > out_cap) return ERR_OUTPUT_SMALL;
+    o += match_len;
+
+    int64_t ll = lit_len, ml = match_len;
+    if (nrec + (ll >> 7) + (ml >> 7) + 10 > rec_cap) return -6;
+    if (ll + ml <= 128 && offset >= ll + ml) {
+      // the common case: one combined record per sequence
+      recs[2 * nrec] = (uint32_t)lp;
+      recs[2 * nrec + 1] =
+          (uint32_t)offset | ((uint32_t)ll << 16) | ((uint32_t)ml << 24);
+      nrec++;
+      continue;
+    }
+    if (offset >= 128) {
+      // literal chunks; the last (<= 128 B) absorbs the match head —
+      // offset >= 128 >= ll'+take keeps the source fully prior
+      while (ll > 128) {
+        recs[2 * nrec] = (uint32_t)lp;
+        recs[2 * nrec + 1] = 1u | (128u << 16);
+        nrec++;
+        lp += 128;
+        ll -= 128;
+      }
+      int64_t take = ml < 128 - ll ? ml : 128 - ll;
+      recs[2 * nrec] = (uint32_t)lp;
+      recs[2 * nrec + 1] =
+          (uint32_t)offset | ((uint32_t)ll << 16) | ((uint32_t)take << 24);
+      nrec++;
+      ml -= take;
+      while (ml > 0) {
+        take = ml < 128 ? ml : 128;
+        recs[2 * nrec] = 0;
+        recs[2 * nrec + 1] = (uint32_t)offset | ((uint32_t)take << 24);
+        nrec++;
+        ml -= take;
+      }
+      continue;
+    }
+    // overlap match (offset < 128): literal records, then a doubling chain
+    while (ll > 0) {
+      int64_t take = ll < 128 ? ll : 128;
+      recs[2 * nrec] = (uint32_t)lp;
+      recs[2 * nrec + 1] = 1u | ((uint32_t)take << 16);
+      nrec++;
+      lp += take;
+      ll -= take;
+    }
+    int64_t off = offset;
+    while (off < 128 && ml > 0) {
+      int64_t take = ml < off ? ml : off;
+      recs[2 * nrec] = 0;
+      recs[2 * nrec + 1] = (uint32_t)off | ((uint32_t)take << 24);
+      nrec++;
+      ml -= take;
+      off <<= 1;
+    }
+    while (ml > 0) {
+      int64_t take = ml < 128 ? ml : 128;
+      recs[2 * nrec] = 0;
+      recs[2 * nrec + 1] = (uint32_t)off | ((uint32_t)take << 24);
+      nrec++;
+      ml -= take;
+    }
+  }
+  *out_len_out = o;
+  return nrec;
+}
+
 // Greedy selection + exact extension + serialization over a device-built
 // candidate chain (ops/split_encode.py "chain-direct" encode). chain[a] =
 // (m << 16) | dist packs, for every payload position a, the FIRST

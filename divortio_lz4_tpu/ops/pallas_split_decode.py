@@ -422,6 +422,451 @@ def decode_chain_chunk_split(lit_tail: jax.Array, recs: jax.Array,
     return out[0].astype(jnp.uint8), win_next
 
 
+# ---------------------------------------------------------------------------
+# Round-4 "wire-direct" split decode (v2): 1x wire bytes on the link
+# ---------------------------------------------------------------------------
+#
+# The round-3 split path ships a PLACED-LITERAL image (~1x plaintext) plus
+# match records — ~2-3x the compressed stream on the wire, which loses the
+# end-to-end tier on transfer-bound links (VERDICT r3 weak #3). The v2 path
+# ships the COMPRESSED BYTES THEMSELVES as the kernel's literal source:
+# each record covers up to 128 contiguous output bytes — a literal slice
+# copied from the wire image plus (optionally) a match copy from prior
+# output — so ~one record per LZ4 sequence:
+#
+#   shipped (narrow, block_size <= 64 KB): u16[nb, cap, 3] =
+#       (src, offset, ll | ml<<8)            — 6 B/record on the link
+#   shipped (wide):                        u32[nb, cap, 2] =
+#       (src, offset | ll<<16 | ml<<24)      — 8 B/record
+#
+# dst is NOT shipped: records tile the output exactly in order, so the
+# device derives it with one cumsum (``_expand_wire_records``). That same
+# tiling property buys the kernel WILD writes the placed-image kernel can
+# never use: everything at/after a record's end is rewritten by later
+# records, so only the leading edge of the first output row needs a masked
+# read-modify-write — the second row is a plain store.
+#
+# Host parse gets ~3x cheaper too (no literal memcpy — pure arithmetic) and
+# overlaps the previous batch's kernel in the frame path (async dispatch).
+# Reference semantics: blockDecompress.js:61-123 (literal copies now run on
+# device), :204-268 (match cases).
+
+# Lane budget per record (output bytes covered).
+REC_SPAN = 128
+
+
+def _parse_records2_py(src: np.ndarray, out_cap: int, dict_len: int = 0):
+    """Pure-Python fallback for lz4t_parse_records2 (same record contract)."""
+    cb = src.tolist()
+    n = len(cb)
+    p = o = 0
+    recs = []
+
+    def emit(s, off, ll, ml):
+        recs.append((s, (off | (ll << 16) | (ml << 24)) & 0xFFFFFFFF))
+
+    while p < n:
+        tok = cb[p]; p += 1
+        ll = tok >> 4
+        if ll == 15:
+            while True:
+                if p >= n:
+                    raise ValueError("LZ4: Malformed Input")
+                v = cb[p]; p += 1; ll += v
+                if v != 255:
+                    break
+        if o + ll > out_cap:
+            raise ValueError("LZ4: Output Buffer Too Small")
+        if p + ll > n:
+            raise ValueError("LZ4: Malformed Input")
+        lp = p
+        o += ll; p += ll
+        if p >= n:
+            while ll > 0:
+                take = min(ll, 128)
+                emit(lp, 1, take, 0)
+                lp += take; ll -= take
+            break
+        if p + 2 > n:
+            raise ValueError("LZ4: Malformed Input")
+        off = cb[p] | (cb[p + 1] << 8)
+        p += 2
+        if off == 0:
+            raise ValueError("LZ4: Invalid Offset 0")
+        if off > o + dict_len:
+            raise ValueError("LZ4: Dictionary Offset Out of Bounds")
+        ml = tok & 15
+        if ml == 15:
+            while True:
+                if p >= n:
+                    raise ValueError("LZ4: Malformed Input")
+                v = cb[p]; p += 1; ml += v
+                if v != 255:
+                    break
+        ml += 4
+        if o + ml > out_cap:
+            raise ValueError("LZ4: Output Buffer Too Small")
+        o += ml
+        if ll + ml <= 128 and off >= ll + ml:
+            emit(lp, off, ll, ml)          # one combined record
+            continue
+        if off >= 128:
+            while ll > 128:
+                emit(lp, 1, 128, 0)
+                lp += 128; ll -= 128
+            take = min(ml, 128 - ll)
+            emit(lp, off, ll, take)        # literal tail absorbs match head
+            ml -= take
+            while ml > 0:
+                take = min(ml, 128)
+                emit(0, off, 0, take)
+                ml -= take
+            continue
+        while ll > 0:                      # overlap: literals, then doubling
+            take = min(ll, 128)
+            emit(lp, 1, take, 0)
+            lp += take; ll -= take
+        d = off
+        while d < 128 and ml > 0:
+            take = min(ml, d)
+            emit(0, d, 0, take)
+            ml -= take; d *= 2
+        while ml > 0:
+            take = min(ml, 128)
+            emit(0, d, 0, take)
+            ml -= take
+    return (np.array(recs, np.uint32).reshape(-1, 2) if recs
+            else np.empty((0, 2), np.uint32)), o
+
+
+def parse_records_wire(src: np.ndarray, out_cap: int, dict_len: int = 0):
+    """Parse one block's wire bytes into v2 records (native fast path,
+    Python fallback). Returns (recs u32[nrec, 2], out_len)."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    try:
+        from ..native import parse_records2_native
+    except Exception:
+        parse_records2_native = None
+    if parse_records2_native is not None:
+        return parse_records2_native(src, out_cap, dict_len)
+    return _parse_records2_py(src, out_cap, dict_len)
+
+
+def stored_wire_records(size: int) -> np.ndarray:
+    """Pure-literal v2 records for a STORED block: the wire image IS the
+    plaintext, so the kernel copies it through in 128-byte slices."""
+    if size == 0:
+        return np.empty((0, 2), np.uint32)
+    n = -(-size // 128)
+    r = np.empty((n, 2), np.uint32)
+    r[:, 0] = np.arange(n, dtype=np.uint32) * 128
+    take = np.full(n, 128, np.uint32)
+    take[-1] = size - 128 * (n - 1)
+    r[:, 1] = 1 | (take << 16)
+    return r
+
+
+def _expand_wire_records(recs: jax.Array, out_cap: int):
+    """Device-side record expansion: derive each record's output position
+    (cumsum over ll+ml — records tile the output in order) and pack the
+    kernel's SMEM word layout. Runs inside the decode jit, fused ahead of
+    the pallas_call. Narrow (u16 triplets) -> 2 words/record
+    (src|ll<<16|ml<<24, dst|off<<16); wide (u32 pairs) -> 3 words/record
+    (src, off|ll<<16|ml<<24, dst). Returns (words i32[nb, cap*rw], rw)."""
+    nb, cap = recs.shape[0], recs.shape[1]
+    if recs.dtype == jnp.uint16:
+        r = recs.astype(jnp.int32)
+        src, off, llml = r[..., 0], r[..., 1], r[..., 2]
+        tot = (llml & 0xFF) + ((llml >> 8) & 0xFF)
+        dst = jnp.cumsum(tot, axis=1) - tot
+        dst = jnp.minimum(dst, min(out_cap, 0xFFFF))  # keep the u16 field
+        w0 = src | (llml << 16)
+        w1 = dst | (off << 16)
+        return jnp.stack([w0, w1], -1).reshape(nb, cap * 2), 2
+    r = recs.astype(jnp.int32)
+    src, w1 = r[..., 0], r[..., 1]
+    tot = ((w1 >> 16) & 0xFF) + ((w1 >> 24) & 0xFF)
+    dst = jnp.cumsum(tot, axis=1) - tot
+    dst = jnp.minimum(dst, out_cap)
+    return jnp.stack([src, w1, dst], -1).reshape(nb, cap * 3), 3
+
+
+def _make_wire_kernel(ways: int, cap: int, rw: int, wire_nr: int,
+                      io_nr: int, hist_nr: int, out_base: int, out_cap: int):
+    """Interleaved wire-direct record kernel (see the v2 section header).
+
+    Refs: trips (SMEM prefetch), recs (SMEM, rw words/record), wire (VMEM,
+    per-way compressed images, shared read-only ref), [hist (VMEM, per-way
+    history rows — only when out_base > 0)], ways x io outputs."""
+    bs_limit = out_base + out_cap
+
+    def kernel(trips_ref, recs_ref, wire_ref, *rest):
+        if hist_nr:
+            hist_ref, io_refs = rest[0], rest[1:]
+        else:
+            io_refs = rest
+        g = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        if hist_nr:
+            # seed each way's window region from its history rows
+            def seed(k, _):
+                for r in range(ways):
+                    io_refs[r][pl.ds(k * 8, 8), :] = \
+                        hist_ref[pl.ds(r * hist_nr + k * 8, 8), :]
+                return 0
+            jax.lax.fori_loop(0, hist_nr // 8, seed, 0)
+
+        def read_at(ref, q, ls):
+            """Two rows of *ref* rolled so byte q+t sits at lane (ls+t)%128
+            — same roll for both rows; the caller's mask picks per lane."""
+            sq = q % LANES
+            sh = ls - sq
+            r0 = pltpu.roll(ref[pl.ds(q // LANES, 1), :], sh, axis=1)
+            r1 = pltpu.roll(ref[pl.ds(q // LANES + 1, 1), :], sh, axis=1)
+            return r0, r1, sq
+
+        def do_record(io_ref, wire_base, w0, w1, w2):
+            if rw == 3:
+                src = w0
+                off = w1 & 0xFFFF
+                ll = (w1 >> 16) & 0xFF
+                ml = (w1 >> 24) & 0xFF
+                dstr = w2
+            else:
+                src = w0 & 0xFFFF
+                ll = (w0 >> 16) & 0xFF
+                ml = (w0 >> 24) & 0xFF
+                dstr = w1 & 0xFFFF
+                off = (w1 >> 16) & 0xFFFF
+            # Hostile-record clamps: records normally come from our own
+            # parser; garbage must still stay inside the refs.
+            dst = jnp.minimum(dstr, out_cap) + out_base
+            tot = jnp.clip(ll + ml, 0, jnp.minimum(LANES, bs_limit - dst))
+            ll = jnp.minimum(ll, tot)
+            off = jnp.maximum(off, 1)
+            msrc = jnp.maximum(dst + ll - off, 0)
+            src = jnp.clip(src, 0, (wire_nr - 2) * LANES)
+
+            s = dst % LANES
+            t = (iota - s) & (LANES - 1)
+            l0, l1, sql = read_at(wire_ref, wire_base + src, s)
+            vl = jnp.where(t + sql < LANES, l0, l1)
+            m0, m1, sqm = read_at(io_ref, msrc, (s + ll) % LANES)
+            vm = jnp.where(((t - ll) & (LANES - 1)) + sqm < LANES, m0, m1)
+            comb = jnp.where(t < ll, vl, vm)
+
+            # Row j masked on both edges (lanes below s hold earlier
+            # records' bytes; an empty record — e.g. a shorter way's pad,
+            # whose cumsum dst sits at out_len but clamps to the u16 field —
+            # must write NOTHING). Row j+1 is a plain WILD store: everything
+            # at/after a record's end is rewritten by later records (records
+            # tile the output in order), and garbage past out_len is sliced
+            # away on host. The placed-image kernel can never write wild.
+            e = s + tot
+            j = dst // LANES
+            d0 = io_ref[pl.ds(j, 1), :]
+            io_ref[pl.ds(j, 1), :] = jnp.where((iota >= s) & (iota < e),
+                                               comb, d0)
+            io_ref[pl.ds(j + 1, 1), :] = comb
+
+        def body(i, _):
+            for r in range(ways):
+                base_row = r * cap * rw // LANES
+                w0 = recs_ref[base_row + (rw * i) // LANES,
+                              (rw * i) % LANES]
+                w1 = recs_ref[base_row + (rw * i + 1) // LANES,
+                              (rw * i + 1) % LANES]
+                w2 = recs_ref[base_row + (rw * i + 2) // LANES,
+                              (rw * i + 2) % LANES] if rw == 3 else w0
+                do_record(io_refs[r], r * wire_nr * LANES, w0, w1, w2)
+            return 0
+
+        jax.lax.fori_loop(0, trips_ref[g], body, 0)
+
+    return kernel
+
+
+def plan_ways_wire(cap: int, rw: int, wire_bytes: int, io_bytes: int,
+                   hist_bytes: int) -> int:
+    """Interleave width for the wire-direct kernel: the SMEM window holds
+    rw words/record, VMEM holds wire + io (+ history) per way."""
+    ways = 8
+    while ways > 1 and (ways * cap * rw * 4 > SMEM_BUDGET
+                        or ways * (wire_bytes + io_bytes + hist_bytes) * 8
+                        > VMEM_BUDGET):
+        ways //= 2
+    return ways
+
+
+def _cap_bucket(n: int) -> int:
+    """Record-capacity bucket: multiples of 1024 up to 8K, pow2 beyond —
+    tighter than pure pow2 (the SMEM window is the ways limiter) while
+    keeping the compile cache small."""
+    if n <= 8192:
+        return max(-(-n // 1024) * 1024, 1024)
+    return _pow2_at_least(n, 8192)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "use_history", "interpret"))
+def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
+                       block_size: int, use_history: bool = False,
+                       hist: jax.Array | None = None,
+                       interpret: bool = False):
+    """Decode pre-parsed blocks straight from their wire bytes (v2 path).
+
+    Args:
+      wire: u8[nb, wire_cap] compressed images (zero-padded; wire_cap
+        % 1024 == 0, >= max wire + SLACK).
+      recs: u16[nb, cap, 3] (narrow) or u32/i32[nb, cap, 2] (wide) compact
+        records, zero-padded (cap % 128 == 0).
+      trips: i32[nb / ways] per-grid-step record-loop bounds.
+      block_size: static output capacity per block.
+      hist: u8[nb, 64 KB] history rows (required when use_history).
+
+    Returns out u8[nb, block_size] (lengths come from the host parser)."""
+    nb, wire_bytes = wire.shape
+    cap = recs.shape[1]
+    assert wire_bytes % 1024 == 0 and cap % 128 == 0, (wire_bytes, cap)
+    out_base = W if use_history else 0
+    io_bytes = _round_up(out_base + block_size + SLACK, 1024)
+    io_nr = io_bytes // LANES
+    wire_nr = wire_bytes // LANES
+    hist_nr = (W // LANES) if use_history else 0
+
+    words, rw = _expand_wire_records(recs, block_size)
+    ways = plan_ways_wire(cap, rw, wire_bytes, io_bytes,
+                          W if use_history else 0)
+    assert nb % ways == 0, (nb, ways)
+    nsteps = nb // ways
+
+    words = words.reshape(nb * cap * rw // LANES, LANES)
+    wire_i = wire.astype(jnp.int32).reshape(nb * wire_nr, LANES)
+    in_specs = [
+        pl.BlockSpec((ways * cap * rw // LANES, LANES), lambda g, t: (g, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((ways * wire_nr, LANES), lambda g, t: (g, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wire_i]
+    if use_history:
+        in_specs.append(
+            pl.BlockSpec((ways * hist_nr, LANES), lambda g, t: (g, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(hist.astype(jnp.int32).reshape(nb * hist_nr, LANES))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((io_nr, LANES), lambda g, t: (g, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(ways)
+        ],
+    )
+    outs = pl.pallas_call(
+        _make_wire_kernel(ways, cap, rw, wire_nr, io_nr, hist_nr, out_base,
+                          block_size),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nsteps * io_nr, LANES), jnp.int32)
+                   for _ in range(ways)],
+        interpret=interpret,
+    )(trips, words, *args)
+
+    out = jnp.stack([o.reshape(nsteps, io_nr * LANES) for o in outs],
+                    axis=1).reshape(nb, io_nr * LANES)
+    return out[:, out_base: out_base + block_size].astype(jnp.uint8)
+
+
+def parse_wire_batch(entries, block_size: int, window=None):
+    """Parse a batch of blocks for ``decode_blocks_wire``.
+
+    Args:
+      entries: list of (wire_bytes u8, stored bool) per block.
+      block_size: per-block output capacity.
+      window: optional shared history window (u8, <= 64 KB) — the
+        dictionary case; every block sees the same window.
+
+    Returns (wire u8[nb, wire_cap], recs (u16[nb,cap,3] | u32[nb,cap,2]),
+    counts i32[nb], out_lens i64[nb], hist u8[nb, W] | None).
+    """
+    nb = len(entries)
+    hl = len(window) if window is not None and len(window) else 0
+    max_wire = max((len(c) for c, _ in entries), default=1)
+    wire_cap = _round_up(max_wire + SLACK, 1024)
+    wire = np.zeros((nb, wire_cap), np.uint8)
+    counts = np.zeros(nb, np.int32)
+    out_lens = np.zeros(nb, np.int64)
+    recs_l = []
+    for i, (c, stored) in enumerate(entries):
+        wire[i, : len(c)] = c
+        if stored:
+            r, ol = stored_wire_records(len(c)), len(c)
+        else:
+            r, ol = parse_records_wire(c, block_size, hl)
+        recs_l.append(r)
+        counts[i] = len(r)
+        out_lens[i] = ol
+    cap = _cap_bucket(max(int(counts.max(initial=0)) + 1, 2))
+    narrow = block_size <= 65536 and wire_cap - SLACK <= 65536
+    if narrow:
+        recs = np.zeros((nb, cap, 3), np.uint16)
+        for i, r in enumerate(recs_l):
+            if len(r):
+                recs[i, : len(r), 0] = r[:, 0]
+                recs[i, : len(r), 1] = r[:, 1] & 0xFFFF
+                recs[i, : len(r), 2] = r[:, 1] >> 16
+    else:
+        recs = np.zeros((nb, cap, 2), np.uint32)
+        for i, r in enumerate(recs_l):
+            if len(r):
+                recs[i, : len(r)] = r
+        recs = recs.view(np.int32)
+    hist = None
+    if hl:
+        hist = np.zeros((nb, W), np.uint8)
+        hist[:, W - hl:] = window
+    return wire, recs, counts, out_lens, hist
+
+
+def decode_wire_blocks2(comps, block_size: int,
+                        interpret: bool | None = None):
+    """Decode a list of independent blocks' wire bytes in ONE batched
+    wire-direct dispatch (sorted interleave groups). Returns np.uint8
+    outputs in input order. The streaming decoder's device burst path."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wire, recs, counts, out_lens, _ = parse_wire_batch(
+        [(c, False) for c in comps], block_size)
+    rw = 2 if recs.dtype == np.uint16 else 3
+    ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1],
+                          _round_up(block_size + SLACK, 1024), 0)
+    order_p, trips = build_sorted_batch(counts, ways)
+    out = decode_blocks_wire(jnp.asarray(wire[order_p]),
+                             jnp.asarray(recs[order_p]),
+                             jnp.asarray(trips), block_size, False, None,
+                             interpret)
+    out_np = np.asarray(out)
+    res = [None] * len(comps)
+    for k, b in enumerate(order_p):
+        if res[b] is None:
+            res[b] = out_np[k][: int(out_lens[b])]
+    return res
+
+
+def grouped_trips(counts: np.ndarray, ways: int) -> np.ndarray:
+    """Per-grid-step record-loop bounds for rows ALREADY laid out in
+    dispatch order (len(counts) % ways == 0): max count over each
+    consecutive group of *ways* rows. Unlike build_sorted_batch this does
+    NOT reorder — use it when the caller controls the row order (e.g.
+    sorted rows with zero-count padding appended)."""
+    nsteps = len(counts) // ways
+    return np.array([int(counts[g * ways:(g + 1) * ways].max(initial=0))
+                     for g in range(nsteps)], np.int32)
+
+
 def build_sorted_batch(counts: np.ndarray, ways: int):
     """The production interleave grouping, shared by every batching call
     site (frame path, streaming decoder, bench): blocks sorted by record

@@ -987,57 +987,37 @@ _SPLIT_MAX_BS = 262144
 
 def _decode_independent_split(buf, blocks, bs, window=None,
                               sharded=None) -> np.ndarray:
-    """Independent-frame decode via the split path (ops/pallas_split_decode):
-    the native host parser places literals and emits straight-line match
-    records; the device kernel interleaves WAYS blocks' record copies per
-    grid step. Stored blocks become zero-record blocks whose literal image
-    IS the wire bytes — no patch-up pass. Blocks are batch-sorted by record
-    count so interleave groups run similar trip counts (outputs un-permuted
-    on host).
+    """Independent-frame decode via the WIRE-DIRECT split path (round 4,
+    ops/pallas_split_decode v2): the host parser emits compact records
+    (~one per LZ4 sequence, 6 B each) and the device kernel copies literal
+    slices straight from the compressed bytes — the link ships 1x wire
+    instead of a placed-literal image. Stored blocks become pure-literal
+    record runs over their own wire image. Blocks are batch-sorted by
+    record count so interleave groups run similar trip counts; dispatches
+    queue async (the host parse of later work overlaps earlier kernels)
+    and results are fetched once at the end.
 
     sharded: optional (ndev, dec_fn) — one dispatch over a device mesh.
     Sorted blocks are STRIPED across devices (balanced record counts);
     rows pad to ndev*ways so every shard's groups align; dec_fn is the
-    shard_map-wrapped decode_blocks_split (parallel/sharding.py)."""
+    shard_map-wrapped decode_blocks_wire (parallel/sharding.py)."""
     import jax
 
     from ..ops.pallas_split_decode import (
-        NOOP_W0, NOOP_W1, decode_blocks_split, parse_records, plan_ways)
+        decode_blocks_wire, grouped_trips, parse_wire_batch, plan_ways_wire)
     from ..ops.pallas_split_decode import SLACK as SP_SLACK
     from ..ops.pallas_split_decode import W as SP_W
-    from ..ops.pallas_split_decode import _pow2_at_least, _round_up as _ru
+    from ..ops.pallas_split_decode import _round_up as _ru
 
     nb = len(blocks)
     use_history = window is not None
-    out_base = SP_W if use_history else 0
-    io_bytes = _ru(out_base + bs + SP_SLACK, 1024)
-    hl = len(window) if use_history else 0
-    lit = np.zeros((nb, io_bytes), np.uint8)
-    counts = np.zeros(nb, np.int32)
-    out_lens = np.zeros(nb, np.int64)
-    recs_l = []
-    for i, (off, size, stored) in enumerate(blocks):
-        if hl:
-            lit[i, out_base - hl: out_base] = window
-        if stored:
-            lit[i, out_base: out_base + size] = buf[off: off + size]
-            recs_l.append(None)
-            out_lens[i] = size
-        else:
-            r, ol = parse_records(buf[off: off + size], lit[i, out_base:],
-                                  bs, hl)
-            recs_l.append(r)
-            counts[i] = len(r)
-            out_lens[i] = ol
-    cap = _pow2_at_least(max(int(counts.max(initial=0)) + 1, 2), 128)
-    recs = np.empty((nb, cap, 2), np.uint32)
-    recs[:, :, 0] = NOOP_W0
-    recs[:, :, 1] = NOOP_W1
-    for i, r in enumerate(recs_l):
-        if r is not None and len(r):
-            recs[i, : len(r)] = r
-    recs = recs.view(np.int32)
-    ways = plan_ways(cap, io_bytes)
+    io_bytes = _ru((SP_W if use_history else 0) + bs + SP_SLACK, 1024)
+    entries = [(buf[off: off + size], stored) for off, size, stored in blocks]
+    wire, recs, counts, out_lens, hist = parse_wire_batch(entries, bs,
+                                                          window)
+    rw = 2 if recs.dtype == np.uint16 else 3
+    ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1], io_bytes,
+                          SP_W if use_history else 0)
     interpret = jax.default_backend() != "tpu"
 
     order = np.argsort(counts, kind="stable")
@@ -1058,9 +1038,11 @@ def _decode_independent_split(buf, blocks, bs, window=None,
         nsteps = npad // ways
         trips = np.array([int(cnt_s[g * ways:(g + 1) * ways].max(initial=0))
                           for g in range(nsteps)], np.int32)
-        out = dec_fn(jnp.asarray(lit[stripe]), jnp.asarray(recs[stripe]),
-                     jnp.asarray(trips), use_history, bs)
-        out_np = np.asarray(out).astype(np.uint8)
+        out = dec_fn(jnp.asarray(wire[stripe]), jnp.asarray(recs[stripe]),
+                     jnp.asarray(trips),
+                     jnp.asarray(hist[stripe]) if use_history else None,
+                     use_history, bs)
+        out_np = np.asarray(out)
         outs = [None] * nb
         for k, b in enumerate(stripe):
             if outs[b] is None:
@@ -1070,28 +1052,39 @@ def _decode_independent_split(buf, blocks, bs, window=None,
             if nb else np.empty(0, np.uint8)
 
     CH = _FRAME_CHUNK_ROWS_DEC
-    outs = [None] * nb  # per-block u8 rows, original indexing
+    pend = []
     for i in range(0, nb, CH):
         rows = min(CH, nb - i)
         target = CH if nb > CH else max(_chunk_rows_bucket(rows), ways)
         sel = order[i: i + rows]
-        lit_c = lit[sel]
+        wire_c = wire[sel]
         recs_c = recs[sel]
         cnt_c = counts[sel]
         if rows < target:
             pad = target - rows
-            lit_c = np.concatenate(
-                [lit_c, np.zeros((pad, io_bytes), np.uint8)])
-            pad_r = np.empty((pad, cap, 2), np.uint32)
-            pad_r[..., 0] = NOOP_W0
-            pad_r[..., 1] = NOOP_W1
-            recs_c = np.concatenate([recs_c, pad_r.view(np.int32)])
+            wire_c = np.concatenate(
+                [wire_c, np.zeros((pad,) + wire.shape[1:], np.uint8)])
+            recs_c = np.concatenate(
+                [recs_c, np.zeros((pad,) + recs.shape[1:], recs.dtype)])
             cnt_c = np.concatenate([cnt_c, np.zeros(pad, np.int32)])
-        from ..ops.pallas_split_decode import build_sorted_batch
-        _, trips = build_sorted_batch(cnt_c, ways)  # cnt_c is pre-sorted
-        out = decode_blocks_split(
-            jnp.asarray(lit_c), jnp.asarray(recs_c), jnp.asarray(trips),
-            bs, use_history, interpret).astype(jnp.uint8)
+        # Trips must follow THIS chunk's actual row layout (sorted rows +
+        # zero-count pads at the end) — build_sorted_batch would re-sort
+        # and misassign group bounds when a chunk spans several groups.
+        trips = grouped_trips(cnt_c, ways)
+        hist_c = None
+        if use_history:
+            hist_c = hist[sel]
+            if rows < target:
+                hist_c = np.concatenate(
+                    [hist_c,
+                     np.zeros((target - rows, SP_W), np.uint8)])
+            hist_c = jnp.asarray(hist_c)
+        out = decode_blocks_wire(
+            jnp.asarray(wire_c), jnp.asarray(recs_c), jnp.asarray(trips),
+            bs, use_history, hist_c, interpret)
+        pend.append((sel, out))
+    outs = [None] * nb  # per-block u8 rows, original indexing
+    for sel, out in pend:
         out_np = np.asarray(out)
         for k, b in enumerate(sel):
             outs[b] = out_np[k]

@@ -209,29 +209,40 @@ class ShardedCodec:
         return device_decompress_frame(data, verify_checksum, decode_batch,
                                        dictionary=dictionary)
 
-    def _dec_split(self, lit, recs, trips, use_history: bool, bs: int):
-        """shard_map'd split decode over the mesh (rows pre-striped and
-        padded to ndev*ways by the device layer); *bs* is the FRAME's
-        block size."""
-        from ..ops.pallas_split_decode import decode_blocks_split
+    def _dec_split(self, wire, recs, trips, hist, use_history: bool,
+                   bs: int):
+        """shard_map'd WIRE-DIRECT split decode over the mesh (rows
+        pre-striped and padded to ndev*ways by the device layer); *bs* is
+        the FRAME's block size. hist is None unless use_history."""
+        from ..ops.pallas_split_decode import decode_blocks_wire
 
         interp = jax.default_backend() != "tpu"
         mesh, axis = self.mesh, self.axis
-        key = (lit.shape[1], recs.shape[1], bool(use_history), bs)
+        key = (wire.shape[1], recs.shape[1], bool(use_history), bs)
         if not hasattr(self, "_dec_split_cache"):
             self._dec_split_cache = {}
         if key not in self._dec_split_cache:
-            def dec_shard(lit_s, recs_s, trips_s):
-                return decode_blocks_split(lit_s, recs_s, trips_s, bs,
-                                           use_history, interp)
+            if use_history:
+                def dec_shard(wire_s, recs_s, trips_s, hist_s):
+                    return decode_blocks_wire(wire_s, recs_s, trips_s, bs,
+                                              True, hist_s, interp)
+                in_specs = (P(axis, None), P(axis, None, None), P(axis),
+                            P(axis, None))
+            else:
+                def dec_shard(wire_s, recs_s, trips_s):
+                    return decode_blocks_wire(wire_s, recs_s, trips_s, bs,
+                                              False, None, interp)
+                in_specs = (P(axis, None), P(axis, None, None), P(axis))
 
             self._dec_split_cache[key] = jax.jit(shard_map(
                 dec_shard, mesh=mesh, check_vma=False,
-                in_specs=(P(axis, None), P(axis, None, None), P(axis)),
-                out_specs=P(axis, None)))
+                in_specs=in_specs, out_specs=P(axis, None)))
         sh2 = NamedSharding(mesh, P(self.axis, None))
         sh3 = NamedSharding(mesh, P(self.axis, None, None))
         sh1 = NamedSharding(mesh, P(self.axis))
-        return self._dec_split_cache[key](
-            jax.device_put(lit, sh2), jax.device_put(recs, sh3),
-            jax.device_put(trips, sh1))
+        args = [jax.device_put(jnp.asarray(wire), sh2),
+                jax.device_put(jnp.asarray(recs), sh3),
+                jax.device_put(jnp.asarray(trips), sh1)]
+        if use_history:
+            args.append(jax.device_put(jnp.asarray(hist), sh2))
+        return self._dec_split_cache[key](*args)

@@ -331,7 +331,7 @@ class LZ4Decoder:
                  backend: Optional[str] = None):
         # backend="device": when >= _DEVICE_MIN_BLOCKS complete INDEPENDENT
         # blocks sit buffered, they decode as ONE batched dispatch of the
-        # split kernel (ops/pallas_split_decode.decode_wire_blocks);
+        # split kernel (ops/pallas_split_decode.decode_wire_blocks2 — wire-direct);
         # fragments, linked frames, and dictionaries use the host backend.
         self._device = backend == "device"
         self._be = get_backend(None if self._device else backend)
@@ -541,7 +541,7 @@ class LZ4Decoder:
             b *= 2
         spans = spans[:b]
         p = spans[-1][3] + (4 if self._has_block_checksum else 0)
-        from .ops.pallas_split_decode import decode_wire_blocks
+        from .ops.pallas_split_decode import decode_wire_blocks2
         buf_np = np.frombuffer(bytes(self._buf[:p]), np.uint8)
         if self._has_block_checksum and self.verify_checksum:
             for off, bsize, _, cko in spans:
@@ -549,7 +549,7 @@ class LZ4Decoder:
                         != xxhash32(buf_np[off: off + bsize], 0):
                     raise ValueError("LZ4: Block Checksum Error")
         comp_idx = [i for i, s in enumerate(spans) if not s[2]]
-        decoded = decode_wire_blocks(
+        decoded = decode_wire_blocks2(
             [buf_np[spans[i][0]: spans[i][0] + spans[i][1]]
              for i in comp_idx], self._block_max)
         dec_map = dict(zip(comp_idx, decoded))
