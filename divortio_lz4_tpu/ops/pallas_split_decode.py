@@ -379,49 +379,6 @@ def parse_block_batch(comps, block_size: int, histories=None):
     return lit, recs.view(np.int32), counts, out_lens, use_history
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_cap", "interpret"))
-def decode_chain_chunk_split(lit_tail: jax.Array, recs: jax.Array,
-                             trips: jax.Array, window: jax.Array,
-                             total: jax.Array, chunk_cap: int,
-                             interpret: bool = False):
-    """Decode one CHUNK of a dependent piece chain with the split kernel.
-
-    The chain layout trick of ops/pallas_decode.decode_linked_chunk_pallas
-    applied to the split path: the io region is [64 KB window | outputs],
-    so cross-piece (and dictionary) back-references are plain offsets; the
-    carried window stays a DEVICE array between chunk calls (no host round
-    trip). Records' dst are chunk-output-relative (the host parser adds
-    piece bases); out_base = W rides the kernel's use_history path.
-
-    Args:
-      lit_tail: u8[io_bytes - W] placed-literal image of the chunk's
-        outputs (stored pieces = their wire bytes), io_bytes =
-        round_up(W + chunk_cap + SLACK, 1024).
-      recs: i32[1, cap, 2] concatenated records (NOOP-padded).
-      trips: i32[1] record count.
-      window: u8[W] carried history.
-      total: i32 scalar — the chunk's total decoded bytes (host-known).
-      chunk_cap: static output capacity.
-
-    Returns (out u8[chunk_cap], win_next u8[W]).
-    """
-    lit = jnp.concatenate([window, lit_tail])[None]
-    # nb=1 must satisfy decode_blocks_split's interleave-width contract —
-    # pad rows to `ways` with no-op blocks rather than relying on the
-    # SMEM/VMEM budget constants happening to force ways == 1.
-    ways = plan_ways(recs.shape[1], lit.shape[1])
-    if ways > 1:
-        lit = jnp.concatenate(
-            [lit, jnp.zeros((ways - 1,) + lit.shape[1:], lit.dtype)])
-        noop = jnp.full((ways - 1,) + recs.shape[1:], NOOP_W0, recs.dtype)
-        recs = jnp.concatenate([recs, noop])
-    out = decode_blocks_split(lit, recs, trips, chunk_cap, True, interpret)
-    flat = jnp.concatenate([window.astype(jnp.int32),
-                            out[0]]).astype(jnp.uint8)
-    win_next = jax.lax.dynamic_slice(flat, (total,), (W,))
-    return out[0].astype(jnp.uint8), win_next
-
-
 # ---------------------------------------------------------------------------
 # Round-4 "wire-direct" split decode (v2): 1x wire bytes on the link
 # ---------------------------------------------------------------------------

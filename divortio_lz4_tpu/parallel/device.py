@@ -585,17 +585,11 @@ def device_decompress_frame(data, verify_checksum: bool = True,
                                            sharded=split_sharded)
     elif (header["independent"] and engine == "split"
           and decode_batch is None):
-        # Big blocks: per-block piece chains through the split kernel
-        # (window resets per block — spec semantics). None = giant-RLE
-        # piece, fall through.
-        from .bigblock import _plan_pieces
-        plan = _plan_pieces(buf, blocks, bs)
-        if plan is not None:
-            chunks = [_decode_chain_split(buf, pieces, window, bs)
-                      for pieces in plan]
-            if all(c is not None for c in chunks):
-                result = np.concatenate(chunks) if chunks \
-                    else np.empty(0, np.uint8)
+        # Big blocks: ONE wave-kernel dispatch for the whole frame body
+        # (window resets per block on device — spec semantics). None =
+        # giant-RLE piece / pathological record density, fall through.
+        from ..ops.wave_decode import decompress_frame_waves
+        result = decompress_frame_waves(buf, blocks, header, window)
     elif (header["independent"] and engine == "pallas"
           and decode_batch is None):
         if _pallas_indep_fits(buf, blocks, bs, window):
@@ -880,104 +874,16 @@ def _pallas_indep_fits(buf, blocks, bs, window) -> bool:
 # XLA scan.
 _PALLAS_LINKED_MAX_BS = 262144
 
-# Chain-split decode: fixed chunk shapes (one compile) — output capacity
-# must cover the largest piece (bigblock.PIECE_CAP) and the record array
-# must fit the kernel's SMEM window.
-_CHAIN_CHUNK_CAP = 262144
-_CHAIN_REC_CAP = 32768
-
-
-def _decode_chain_split(buf, pieces, window, block_max) -> np.ndarray:
-    """Decode a DEPENDENT piece chain via the split kernel: host parses
-    every piece's records up front (dst rebased into the chunk's chained
-    io), chunks dispatch asynchronously, and the 64 KB window carries
-    between chunks as a device array (ops/pallas_split_decode.
-    decode_chain_chunk_split). pieces = [(abs_off, wire_len, out_len,
-    stored)] from bigblock's scan (out_len per piece is known up front —
-    that's what makes the host parse and the fixed chunk shapes work)."""
-    import jax
-
-    from ..ops.pallas_split_decode import (NOOP_W0, NOOP_W1,
-                                           decode_chain_chunk_split,
-                                           parse_records)
-    from ..ops.pallas_split_decode import SLACK as SP_SLACK
-    from ..ops.pallas_split_decode import W as SP_W
-    from ..ops.pallas_split_decode import _round_up as _ru
-
-    interpret = jax.default_backend() != "tpu"
-    io_bytes = _ru(SP_W + _CHAIN_CHUNK_CAP + SP_SLACK, 1024)
-    tail_bytes = io_bytes - SP_W
-
-    win = np.zeros(SP_W, np.uint8)
-    hist_avail = 0  # true history behind the current chunk (for offset
-    #                 validation — the io window is zero-filled where no
-    #                 history exists yet, and the host tier REJECTS
-    #                 back-references into it; match that taxonomy)
-    if window is not None and len(window):
-        win[SP_W - len(window):] = window[-SP_W:]
-        hist_avail = min(len(window), SP_W)
-    d_win = jnp.asarray(win)
-
-    parts = []
-    i = 0
-    n_pieces = len(pieces)
-    while i < n_pieces:
-        lit_tail = np.zeros(tail_bytes, np.uint8)
-        recs = np.empty((1, _CHAIN_REC_CAP, 2), np.uint32)
-        recs[..., 0] = NOOP_W0
-        recs[..., 1] = NOOP_W1
-        base = 0
-        nrec = 0
-        while i < n_pieces:
-            off, wl, ol, stored = pieces[i]
-            if base + ol > _CHAIN_CHUNK_CAP:
-                break  # ol <= PIECE_CAP <= chunk cap, so base > 0 here
-            if stored:
-                lit_tail[base: base + wl] = buf[off: off + wl]
-            else:
-                # Parse in place, then accept/reject by actual record
-                # count (rejected literal bytes past `base` are never
-                # read: the chunk's output truncates at `base` and no
-                # accepted record reaches beyond it).
-                r, got = parse_records(buf[off: off + wl],
-                                       lit_tail[base:],
-                                       _CHAIN_CHUNK_CAP - base,
-                                       hist_avail + base)
-                if got != ol:
-                    raise ValueError("LZ4: Malformed Input")
-                if nrec + len(r) > _CHAIN_REC_CAP:
-                    if base == 0:
-                        return None  # record-pathological piece: fallback
-                    break  # re-parse this piece into the next chunk
-                if len(r):
-                    r = r.copy()
-                    r[:, 1] += base
-                    recs[0, nrec: nrec + len(r)] = r
-                    nrec += len(r)
-            base += ol
-            i += 1
-        out, d_win = decode_chain_chunk_split(
-            jnp.asarray(lit_tail), jnp.asarray(recs.view(np.int32)),
-            jnp.asarray(np.array([nrec], np.int32)), d_win,
-            jnp.int32(base), _CHAIN_CHUNK_CAP, interpret)
-        parts.append((out, base))
-        hist_avail = min(SP_W, hist_avail + base)
-    if not parts:
-        return np.empty(0, np.uint8)
-    return np.concatenate([np.asarray(o)[:b] for o, b in parts])
-
-
 def _decode_linked_split(buf, blocks, bs, window, block_max) -> np.ndarray:
-    """Linked-frame decode via the chain-split path: every block scans into
+    """Linked-frame decode via the wave kernel: every block scans into
     <= 64 KB-output pieces (bigblock.scan_pieces — O(wire), gives out_len
-    up front), then the whole frame decodes as one dependent chain."""
-    from .bigblock import _plan_pieces
+    up front), then the whole frame decodes as one dependent chain in ONE
+    kernel dispatch (the window carries across grid steps in VMEM
+    scratch)."""
+    from ..ops.wave_decode import decompress_frame_waves
 
-    plan = _plan_pieces(buf, blocks, block_max)
-    if plan is None:
-        return None  # giant-RLE piece: caller falls back
-    pieces = [pc for block_pieces in plan for pc in block_pieces]
-    return _decode_chain_split(buf, pieces, window, block_max)
+    header = {"independent": False, "block_max": block_max}
+    return decompress_frame_waves(buf, blocks, header, window)
 
 # Split decode (host record parse + interleaved copy kernel) keeps each
 # block's full io image in VMEM per way; beyond this the big-block router
