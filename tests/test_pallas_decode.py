@@ -186,3 +186,20 @@ def test_linked_pallas_matches_xla_scan(compressible):
     np.testing.assert_array_equal(
         _decode_linked_pallas(frame, blocks, 65536),
         _decode_linked(frame, blocks, 65536))
+
+
+@pytest.mark.skipif("jax.default_backend() != 'tpu'")
+def test_linked_pallas_real_tpu_parity(compressible):
+    """Hardware parity marker (VERDICT r3 #6) for the compiled linked-chunk
+    Mosaic kernel."""
+    from divortio_lz4_tpu import FrameConfig, compress
+    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+
+    data = np.asarray(compressible(1_000_000))
+    cfg = FrameConfig(block_size=65536, block_independence=False)
+    frame = np.array(compress(data, config=cfg))
+    out = device_decompress_frame(frame, engine="pallas")
+    np.testing.assert_array_equal(np.asarray(out), data)
+
+
+import jax  # noqa: E402,F401  (the TPU-parity skipif marker evaluates it)

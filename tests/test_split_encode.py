@@ -194,3 +194,21 @@ def test_chain_encode_linked_frame(compressible):
                                dictionary=d)
     out = lz4.decompress(np.asarray(fd), dictionary=d)
     np.testing.assert_array_equal(np.asarray(out), corpus[:80000])
+
+
+@pytest.mark.skipif("jax.default_backend() != 'tpu'")
+def test_chain_encode_real_tpu_parity(compressible):
+    """Hardware parity marker (VERDICT r3 #6): the compiled chain kernel's
+    frames must decode bit-exact on the host tier and hold the ratio gate
+    vs the reference-identical host encoder."""
+    from divortio_lz4_tpu.parallel.device import device_compress_frame
+
+    corpus = np.asarray(compressible(2_000_000))
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=True)
+    f = device_compress_frame(corpus, cfg, engine="split")
+    out = lz4.decompress(np.asarray(f))
+    np.testing.assert_array_equal(np.asarray(out), corpus)
+    assert len(f) <= len(lz4.compress(corpus, config=cfg))
+
+
+import jax  # noqa: E402,F401  (the TPU-parity skipif marker evaluates it)
