@@ -71,6 +71,10 @@ class LZ4Encoder:
         self._device = backend == "device"
         self._be = get_backend(None if self._device else backend)
         self._block_size = self.config.resolved_block_size
+        # Observability (VERDICT r3 #7): which backend actually served
+        # each flushed block. Callers can assert/inspect offload behavior
+        # instead of guessing from timings.
+        self.stats = {"host_blocks": 0, "device_blocks": 0}
         self._pending = bytearray()
         self._header_sent = False
         self._finished = False
@@ -146,6 +150,7 @@ class LZ4Encoder:
                 self._history = payload[-WINDOW_SIZE:].tobytes()
             else:
                 self._history = (hist + payload.tobytes())[-WINDOW_SIZE:]
+        self.stats["host_blocks"] += 1
         return bytes(out[:end])
 
     # -- public API ---------------------------------------------------------
@@ -179,11 +184,16 @@ class LZ4Encoder:
         # streaming encode of large feeds (profiled; the reference notes
         # the same compromise in lz4Encode.js:184-190 and keeps it).
         nfull = (len(buf) - pos) // bs
-        if (self._device and self.config.block_independence
-                and nfull >= _DEVICE_MIN_BLOCKS and self._device_enc_ok()):
-            outputs.extend(self._flush_blocks_device(
-                buf[pos: pos + nfull * bs], nfull))
-            pos += nfull * bs
+        if (self._device and nfull >= _DEVICE_MIN_BLOCKS
+                and self._device_enc_ok()):
+            if self.config.block_independence:
+                outputs.extend(self._flush_blocks_device(
+                    buf[pos: pos + nfull * bs], nfull))
+                pos += nfull * bs
+            else:
+                outputs.extend(self._flush_blocks_device_linked(
+                    buf[pos: pos + nfull * bs], nfull))
+                pos += nfull * bs
         while len(buf) - pos >= bs:
             outputs.append(self._flush_block(buf[pos: pos + bs]))
             pos += bs
@@ -226,6 +236,66 @@ class LZ4Encoder:
             wk[:bs] = row
             comp = chain_select_serialize(wk, 0, bs, chains[i])
             outputs.append(self._frame_block_bytes(comp, row))
+        self.stats["device_blocks"] += nfull
+        return outputs
+
+    def _flush_blocks_device_linked(self, payload: np.ndarray,
+                                    nfull: int) -> List[bytes]:
+        """Batch nfull LINKED full blocks through the chain-direct encoder.
+
+        The linked chain's serialism is an encoder-side illusion: block
+        i's 64 KB window is known plaintext (the carried history + the
+        burst's own earlier blocks), so every block gets a [history |
+        payload] row and ONE device dispatch builds all candidate chains
+        (same trick as parallel/device._compress_linked_split). Host
+        select/serialize runs per block; the carried window advances past
+        the whole burst. VERDICT r3 #7."""
+        from .ops.split_encode import (chain_select_serialize,
+                                       encode_blocks_chain)
+
+        bs = self._block_size
+        W = WINDOW_SIZE
+        pre = np.frombuffer(self._history, np.uint8)
+        full = np.concatenate([pre, payload])
+        hist = np.zeros((nfull, W), np.uint8)
+        hist_start = np.empty(nfull, np.int32)
+        for i in range(nfull):
+            start = len(pre) + i * bs
+            avail = min(start, W)
+            if avail:
+                hist[i, W - avail:] = full[start - avail: start]
+            hist_start[i] = W - avail
+        work = np.zeros((nfull, W + bs), np.int32)
+        work[:, :W] = hist
+        work[:, W:] = payload.reshape(nfull, bs)
+        lens = np.full(nfull, bs, np.int32)
+
+        CH = 32
+        nbp = -(-nfull // CH) * CH
+        if nbp > nfull:
+            work = np.concatenate(
+                [work, np.zeros((nbp - nfull, W + bs), np.int32)])
+            lens = np.concatenate([lens, np.zeros(nbp - nfull, np.int32)])
+            hist_start = np.concatenate(
+                [hist_start, np.full(nbp - nfull, W, np.int32)])
+        chains = []
+        import jax.numpy as jnp
+        for i in range(0, nbp, CH):
+            chains.append(encode_blocks_chain(
+                work[i: i + CH], lens[i: i + CH], bs, W,
+                jnp.asarray(hist_start[i: i + CH])))
+        chains = np.concatenate([np.asarray(c) for c in chains])
+        outputs: List[bytes] = []
+        for i in range(nfull):
+            row = payload[i * bs: (i + 1) * bs]
+            wk = np.zeros(W + bs + 8, np.uint8)
+            wk[:W] = hist[i]
+            wk[W: W + bs] = row
+            comp = chain_select_serialize(wk, W, bs, chains[i])
+            outputs.append(self._frame_block_bytes(comp, row))
+        self._history = full[-W:].tobytes() if len(full) >= W \
+            else full.tobytes()
+        self.stats["device_blocks"] += nfull
         return outputs
 
     def _frame_block_bytes(self, comp: np.ndarray,
@@ -335,6 +405,8 @@ class LZ4Decoder:
         # fragments, linked frames, and dictionaries use the host backend.
         self._device = backend == "device"
         self._be = get_backend(None if self._device else backend)
+        # Observability (VERDICT r3 #7): blocks served per backend.
+        self.stats = {"host_blocks": 0, "device_blocks": 0}
         self.verify_checksum = verify_checksum
         self._dict = ensure_buffer(dictionary) if dictionary is not None else None
         self._buf = bytearray()
@@ -499,6 +571,7 @@ class LZ4Decoder:
                     self._hasher.update(chunk_out)
                 self._update_window(chunk_out)
                 outputs.append(chunk_out)
+                self.stats["host_blocks"] += 1
                 self._state = _S_BLOCK_SIZE
 
             elif self._state == _S_CHECKSUM:
@@ -561,6 +634,7 @@ class LZ4Decoder:
             self._update_window(chunk)
             outputs.append(chunk)
         del self._buf[:p]
+        self.stats["device_blocks"] += len(spans)
         return True
 
     def _update_window(self, chunk: np.ndarray) -> None:
