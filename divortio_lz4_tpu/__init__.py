@@ -67,6 +67,13 @@ def __getattr__(name):
     if name == "parallel":
         from . import parallel
         return parallel
+    if name in ("compress_frames", "decompress_frames"):
+        # Multi-frame device pipelining: N frames in flight amortize the
+        # per-dispatch link latency (parallel/device.py).
+        from .parallel.device import (device_compress_frames,
+                                      device_decompress_frames)
+        return {"compress_frames": device_compress_frames,
+                "decompress_frames": device_decompress_frames}[name]
     raise AttributeError(name)
 
 

@@ -219,7 +219,7 @@ def device_compress_frame(data,
 
 
 def _compress_independent_split(data, config: FrameConfig,
-                                dictionary=None) -> np.ndarray:
+                                dictionary=None, defer: bool = False):
     """Independent-frame encode via the chain-direct path
     (ops/split_encode): the device builds exhaustive candidate chains (the
     expensive search); the native host greedy-selects, exactly extends, and
@@ -243,7 +243,6 @@ def _compress_independent_split(data, config: FrameConfig,
         hist_start = 0
 
     CH = _FRAME_CHUNK_ROWS
-    comps = [None] * nblocks
     pend = []
     for i in range(0, nblocks, CH):
         rows = min(CH, nblocks - i)
@@ -256,6 +255,22 @@ def _compress_independent_split(data, config: FrameConfig,
             l = np.concatenate([l, np.zeros(target - rows, np.int32)])
         pend.append((i, rows,
                      encode_blocks_chain(w, l, bs, hist_len, hist_start)))
+    state = (raw, work, lens, nblocks, bs, hist_len, pend, config, dict_id)
+    if defer:
+        return state
+    return _split_encode_fetch(state)
+
+
+def _split_encode_fetch(state) -> np.ndarray:
+    """Select/serialize/assemble phase of the chain-direct encode.
+    Separated so device_compress_frames can queue every frame's chain
+    dispatches before the first host serialize (the device computes frame
+    k+1's chains while the host serializes frame k)."""
+    raw, work, lens, nblocks, bs, hist_len, pend, config, dict_id = state
+    from ..ops.split_encode import chain_select_serialize
+
+    comps = [None] * nblocks
+
     def _serialize_one(b, chains_np, k):
         src_len = int(lens[b])
         wk = np.zeros(hist_len + src_len + 8, np.uint8)
@@ -892,7 +907,7 @@ _SPLIT_MAX_BS = 262144
 
 
 def _decode_independent_split(buf, blocks, bs, window=None,
-                              sharded=None) -> np.ndarray:
+                              sharded=None, defer: bool = False):
     """Independent-frame decode via the WIRE-DIRECT split path (round 4,
     ops/pallas_split_decode v2): the host parser emits compact records
     (~one per LZ4 sequence, 6 B each) and the device kernel copies literal
@@ -989,6 +1004,17 @@ def _decode_independent_split(buf, blocks, bs, window=None,
             jnp.asarray(wire_c), jnp.asarray(recs_c), jnp.asarray(trips),
             bs, use_history, hist_c, interpret)
         pend.append((sel, out))
+    if defer:
+        return (nb, pend, out_lens)
+    return _split_decode_fetch((nb, pend, out_lens))
+
+
+def _split_decode_fetch(state) -> np.ndarray:
+    """Fetch phase of the split decode: sync the queued dispatches and
+    splice blocks back into frame order. Separated so the multi-frame
+    pipeline (device_decompress_frames) can dispatch EVERY frame's kernels
+    before paying the first sync."""
+    nb, pend, out_lens = state
     outs = [None] * nb  # per-block u8 rows, original indexing
     for sel, out in pend:
         out_np = np.asarray(out)
@@ -1088,3 +1114,79 @@ def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:
     from ..ops.assemble_xla import concat_blocks
     flat, total = concat_blocks(outs[:nb], out_lens[:nb], nb * bs)
     return np.asarray(flat[: int(total)].astype(jnp.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Multi-frame pipelining (VERDICT r3 #5): the e2e device path pays this
+# link's ~30 ms dispatch+sync per frame; queueing every frame's device work
+# before the first sync (and overlapping host parse/serialize of frame k
+# with device compute of frames k+1..) amortizes it the way the kernel
+# tiers already do.
+# ---------------------------------------------------------------------------
+
+def device_compress_frames(datas, config: FrameConfig = DEFAULT_CONFIG,
+                           dictionary=None, engine: str = "split"):
+    """Encode N payloads into N frames with device dispatches PIPELINED.
+
+    Phase 1 queues every frame's chain-kernel dispatches (JAX dispatch is
+    async); phase 2 runs the host select/serialize per frame — while the
+    host serializes frame k, the device is already computing frame k+1's
+    chains. Shapes stay canonical (per-frame chunking unchanged), so no
+    new kernel compiles. Falls back to serial device_compress_frame calls
+    for configurations the chain-direct path doesn't serve.
+    """
+    datas = list(datas)
+    eligible = engine == "split" and config.block_independence \
+        and not config.block_checksums
+    if eligible:
+        from ..ops.hybrid_encode import hybrid_max_bs
+        eligible = config.resolved_block_size <= hybrid_max_bs()
+    if not eligible:
+        return [device_compress_frame(d, config, dictionary=dictionary,
+                                      engine=engine) for d in datas]
+    states = [_compress_independent_split(d, config, dictionary, defer=True)
+              for d in datas]
+    return [_split_encode_fetch(s) for s in states]
+
+
+def device_decompress_frames(frames, verify_checksum: bool = True,
+                             dictionary=None, engine: str = "split"):
+    """Decode N frames with device dispatches PIPELINED (see
+    device_compress_frames). Frame k+1's host record parse overlaps frame
+    k's kernels; all syncs land in phase 2. Ineligible frames (linked,
+    big-block, non-split engines) decode in place via
+    device_decompress_frame — order is preserved either way."""
+    frames = [ensure_buffer(f) for f in frames]
+    results = [None] * len(frames)
+    pend = []
+    window, dict_id = _dict_window(dictionary)
+    for i, buf in enumerate(frames):
+        header, blocks, tail = parse_block_index(buf, verify_checksum)
+        bs = header["block_max"]
+        if not (engine == "split" and header["independent"] and blocks
+                and bs <= _SPLIT_MAX_BS):
+            results[i] = device_decompress_frame(
+                buf, verify_checksum, dictionary=dictionary, engine=engine)
+            continue
+        if header["dict_id"] is not None:
+            if window is None:
+                raise ValueError("LZ4: Frame requires a Dictionary")
+            if dict_id != header["dict_id"]:
+                raise ValueError("LZ4: Dictionary ID Mismatch")
+        if verify_checksum and header["block_checksums"]:
+            for off, size, _ in blocks:
+                stored = read_u32le(buf, off + size)
+                if stored != xxhash32(buf[off: off + size], 0):
+                    raise ValueError("LZ4: Block Checksum Error")
+        state = _decode_independent_split(buf, blocks, bs, window,
+                                          defer=True)
+        pend.append((i, state, header, buf, tail))
+    for i, state, header, buf, tail in pend:
+        out = _split_decode_fetch(state)
+        if header["content_checksum"] and verify_checksum:
+            if tail + 4 > len(buf):
+                raise ValueError("LZ4: Malformed Input")
+            if read_u32le(buf, tail) != xxhash32(out, 0):
+                raise ValueError("LZ4: Content Checksum Error")
+        results[i] = out
+    return results

@@ -279,3 +279,45 @@ def test_chain_encode_real_tpu_parity(compressible):
 
 
 import jax  # noqa: E402,F401  (the TPU-parity skipif marker evaluates it)
+
+
+def test_multiframe_pipelined_roundtrip(compressible, rng):
+    """device_compress_frames/device_decompress_frames (VERDICT r3 #5):
+    N frames in flight, results identical to the per-frame calls."""
+    from divortio_lz4_tpu.parallel.device import (
+        device_compress_frame, device_compress_frames,
+        device_decompress_frame, device_decompress_frames)
+
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=True,
+                          content_checksum=True)
+    datas = [np.asarray(compressible(150000 + 7000 * i)) for i in range(4)]
+    datas.append(rng.integers(0, 256, 90000, np.uint8))  # stored blocks
+    frames = device_compress_frames(datas, cfg, engine="split")
+    for d, f in zip(datas, frames):
+        one = device_compress_frame(d, cfg, engine="split")
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(one))
+        np.testing.assert_array_equal(
+            np.asarray(lz4.decompress(np.asarray(f))), d)
+    outs = device_decompress_frames(frames, engine="split")
+    for d, o in zip(datas, outs):
+        np.testing.assert_array_equal(np.asarray(o), d)
+    # ineligible frames (linked / big-block) fall back in place
+    lcfg = lz4.FrameConfig(block_size=65536, block_independence=False)
+    mixed = [np.asarray(lz4.compress(datas[0], config=lcfg)), frames[1]]
+    outs = device_decompress_frames(mixed, engine="split")
+    np.testing.assert_array_equal(np.asarray(outs[0]), datas[0])
+    np.testing.assert_array_equal(np.asarray(outs[1]), datas[1])
+    # checksum verification still bites in the pipelined path
+    bad = np.array(frames[0])
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        device_decompress_frames([bad], engine="split")
+
+
+def test_multiframe_facade_exports(compressible):
+    data = np.asarray(compressible(140000))
+    cfg = lz4.FrameConfig(block_size=65536, block_independence=True)
+    frames = lz4.compress_frames([data, data[:70000]], cfg)
+    outs = lz4.decompress_frames(frames)
+    np.testing.assert_array_equal(np.asarray(outs[0]), data)
+    np.testing.assert_array_equal(np.asarray(outs[1]), data[:70000])
