@@ -619,12 +619,37 @@ def main():
     if not args.host:
         dev_size = min(size, int(args.device_size_mb * 1e6))
         signal.signal(signal.SIGALRM, _alarm)
+
+        def run_tier(label, budget, fn):
+            """Run one device tier under a SIGALRM budget, retrying once on
+            timeout. SIGALRM cannot interrupt an in-flight XLA remote
+            compile (the handler fires when control returns to Python), so
+            a "timed out" tier has usually FINISHED compiling by the time
+            _Timeout raises — the retry hits the warm in-process jit cache
+            and measures in seconds instead of losing the figure."""
+            for attempt in (0, 1):
+                try:
+                    signal.alarm(budget)
+                    return fn()
+                except (_Timeout, Exception) as e:
+                    retry = attempt == 0 and isinstance(e, _Timeout)
+                    print(f"bench: {label} tier "
+                          f"{'timed out — retrying on warm cache' if retry else f'skipped ({e!r})'}",
+                          file=sys.stderr)
+                    if not retry:
+                        return None
+                finally:
+                    signal.alarm(0)
+            return None
+
         # Split-decode tier first: compiles in minutes, gives the headline
         # device-decode figure even if later tiers blow the budget.
-        try:
-            signal.alarm(args.device_budget_s // 3)
-            pb, pt1, ptk, ptp, pwr = bench_split_decode(
-                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+        res = run_tier("split decode", args.device_budget_s // 3,
+                       lambda: bench_split_decode(
+                           corpus[:dev_size], args.block,
+                           max(args.runs // 2, 1)))
+        if res is not None:
+            pb, pt1, ptk, ptp, pwr = res
             print(f"bench[device-split-decode/tpu]: {pb / 1e6:.0f}MB "
                   f"wire-direct kernel {ptk * 1e3:.1f} ms = "
                   f"{pb / ptk / 1e6:.1f} MB/s amortized "
@@ -640,15 +665,12 @@ def main():
             extra["device_split_decode_incl_parse_mbps"] = round(
                 pb / (ptk + ptp) / 1e6, 1)
             extra["device_split_wire_ratio"] = round(pwr, 3)
-        except (_Timeout, Exception) as e:
-            print(f"bench: split decode tier skipped ({e!r})",
-                  file=sys.stderr)
-        finally:
-            signal.alarm(0)
-        try:
-            signal.alarm(args.device_budget_s // 3)
-            cb, ck, cs, ccomp, cref = bench_chain_encode(
-                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+        res = run_tier("chain encode", args.device_budget_s // 3,
+                       lambda: bench_chain_encode(
+                           corpus[:dev_size], args.block,
+                           max(args.runs // 2, 1)))
+        if res is not None:
+            cb, ck, cs, ccomp, cref = res
             print(f"bench[device-chain-encode/tpu]: {cb / 1e6:.0f}MB "
                   f"chains {ck * 1e3:.1f} ms amortized = "
                   f"{cb / ck / 1e6:.1f} MB/s; + host select/serialize "
@@ -660,15 +682,12 @@ def main():
                 cb / (ck + cs) / 1e6, 1)
             extra["device_chain_kernel_mbps"] = round(cb / ck / 1e6, 1)
             extra["device_ratio_vs_reference"] = round(ccomp / cref, 4)
-        except (_Timeout, Exception) as e:
-            print(f"bench: chain encode tier skipped ({e!r})",
-                  file=sys.stderr)
-        finally:
-            signal.alarm(0)
-        try:
-            signal.alarm(args.device_budget_s // 3)
-            hb, ht, hcomp, href = bench_hybrid_encode(
-                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+        res = run_tier("hybrid encode", args.device_budget_s // 3,
+                       lambda: bench_hybrid_encode(
+                           corpus[:dev_size], args.block,
+                           max(args.runs // 2, 1)))
+        if res is not None:
+            hb, ht, hcomp, href = res
             print(f"bench[device-hybrid-encode/tpu]: {hb / 1e6:.0f}MB in "
                   f"{ht * 1e3:.0f} ms = {hb / ht / 1e6:.1f} MB/s "
                   f"({hcomp} B out, {hcomp / href:.4f}x vs reference "
@@ -676,40 +695,27 @@ def main():
                   file=sys.stderr)
             extra["device_hybrid_encode_mbps"] = round(hb / ht / 1e6, 1)
             extra["device_hybrid_ratio"] = round(hcomp / href, 4)
-        except (_Timeout, Exception) as e:
-            print(f"bench: hybrid encode tier skipped ({e!r})",
-                  file=sys.stderr)
-        finally:
-            signal.alarm(0)
         # Headline device tier: the production frame path end to end on
         # the engines that win on THIS link (hybrid encode + pallas
         # decode — see bench_device_frames' docstring; the split engines
         # are the kernel-rate tiers above).
-        try:
-            signal.alarm(args.device_budget_s // 3)
-            dev_corpus = corpus[:dev_size]
-            dev_ref_len = len(lz4.compress(dev_corpus, config=ref_cfg))
-            dev_res = bench_device_frames(dev_corpus, args.block,
-                                          max(args.runs // 2, 1))
-            dev_rt, dev_ok = report("device", dev_res, dev_size, dev_ref_len)
-            extra["device_enc_gbps"] = round(
-                dev_size / 1e9 / dev_res[0], 4)
-            extra["device_dec_gbps"] = round(
-                dev_size / 1e9 / dev_res[1], 4)
-        except _Timeout:
-            print("bench: device frame tier skipped (compile budget "
-                  "exceeded)", file=sys.stderr)
-        except Exception as e:
-            print(f"bench: device path failed ({e!r})", file=sys.stderr)
-            dev_ok = False
-        finally:
-            signal.alarm(0)
+        dev_corpus = corpus[:dev_size]
+        dev_ref_len = len(lz4.compress(dev_corpus, config=ref_cfg))
+        res = run_tier("device frame", args.device_budget_s // 3,
+                       lambda: bench_device_frames(
+                           dev_corpus, args.block, max(args.runs // 2, 1)))
+        if res is not None:
+            dev_rt, dev_ok = report("device", res, dev_size, dev_ref_len)
+            extra["device_enc_gbps"] = round(dev_size / 1e9 / res[0], 4)
+            extra["device_dec_gbps"] = round(dev_size / 1e9 / res[1], 4)
         # Multi-frame pipelined tier: N frames in flight through the split
         # engines (the serving-workload shape; dispatches amortize).
-        try:
-            signal.alarm(args.device_budget_s // 3)
-            pp_enc, pp_dec, pp_comp, pp_ok = bench_device_pipelined(
-                corpus[:dev_size], args.block, max(args.runs // 2, 1))
+        res = run_tier("pipelined", args.device_budget_s // 3,
+                       lambda: bench_device_pipelined(
+                           corpus[:dev_size], args.block,
+                           max(args.runs // 2, 1)))
+        if res is not None:
+            pp_enc, pp_dec, pp_comp, pp_ok = res
             pp_n = (dev_size // 8) * 8
             pp_rt = pp_n / 1e9 / (pp_enc + pp_dec)
             print(f"bench[device-pipelined/tpu]: {pp_n / 1e6:.0f}MB as 8 "
@@ -723,16 +729,13 @@ def main():
                 pp_n / pp_dec / 1e6, 1)
             dev_rt = max(dev_rt, pp_rt)
             dev_ok = dev_ok and pp_ok
-        except (_Timeout, Exception) as e:
-            print(f"bench: pipelined tier skipped ({e!r})", file=sys.stderr)
-        finally:
-            signal.alarm(0)
         # Reference-default config on device: 4 MB blocks through the
-        # big-block router (segment+splice encode, piece-chain decode).
-        try:
-            signal.alarm(args.device_budget_s // 3)
-            bt_enc, bt_dec, bcomp, bok = bench_device_bigblock(
-                corpus[:dev_size], max(args.runs // 2, 1))
+        # big-block router (segment+splice encode, wave decode).
+        res = run_tier("bigblock", args.device_budget_s // 3,
+                       lambda: bench_device_bigblock(
+                           corpus[:dev_size], max(args.runs // 2, 1)))
+        if res is not None:
+            bt_enc, bt_dec, bcomp, bok = res
             print(f"bench[device-bigblock/tpu]: {dev_size / 1e6:.0f}MB, "
                   f"block=4194304: enc {dev_size / bt_enc / 1e6:.1f} MB/s, "
                   f"dec {dev_size / bt_dec / 1e6:.1f} MB/s, compressed "
@@ -743,43 +746,26 @@ def main():
             extra["device_bigblock_dec_mbps"] = round(
                 dev_size / bt_dec / 1e6, 1)
             dev_ok = dev_ok and bok
-        except (_Timeout, Exception) as e:
-            print(f"bench: bigblock tier skipped ({e!r})", file=sys.stderr)
-        finally:
-            signal.alarm(0)
         # Secondary: the all-XLA data-parallel kernels (informational —
         # compiles can take ~25 min on a relay cache miss, hence the
         # dedicated budget and the skip-not-fail policy).
-        try:
-            signal.alarm(args.device_budget_s)
-            dev_corpus = corpus[:dev_size]
-            dev_ref_len = len(lz4.compress(dev_corpus, config=ref_cfg))
-            xla_res = bench_device(dev_corpus, args.block,
-                                   max(args.runs // 2, 1))
-            report("device-xla", xla_res, dev_size, dev_ref_len)
-        except _Timeout:
-            print("bench: XLA device tier skipped (compile budget "
-                  f"{args.device_budget_s}s exceeded — remote-compile cache "
-                  "miss); figures in docs/BENCHMARKS.md", file=sys.stderr)
-        except Exception as e:
-            print(f"bench: XLA device tier failed ({e!r})", file=sys.stderr)
-        finally:
-            signal.alarm(0)
+        res = run_tier("XLA device", args.device_budget_s,
+                       lambda: bench_device(
+                           dev_corpus, args.block, max(args.runs // 2, 1)))
+        if res is not None:
+            report("device-xla", res, dev_size, dev_ref_len)
         # Byte-identity tier LAST (see bench_pallas_encode docstring).
-        try:
-            signal.alarm(args.device_budget_s // 3)
-            PE_BLOCK = 4096
-            eb, et, ecomp = bench_pallas_encode(
-                corpus[: 64 * PE_BLOCK], PE_BLOCK, max(args.runs // 2, 1))
+        PE_BLOCK = 4096
+        res = run_tier("pallas encode", args.device_budget_s // 3,
+                       lambda: bench_pallas_encode(
+                           corpus[: 64 * PE_BLOCK], PE_BLOCK,
+                           max(args.runs // 2, 1)))
+        if res is not None:
+            eb, et, ecomp = res
             print(f"bench[device-pallas-encode/tpu]: {eb / 1e6:.2f}MB "
                   f"@{PE_BLOCK}B blocks in {et * 1e3:.0f} ms = "
                   f"{eb / et / 1e6:.2f} MB/s ({ecomp} B out, byte-identical "
                   "to the reference encoder)", file=sys.stderr)
-        except (_Timeout, Exception) as e:
-            print(f"bench: pallas encode tier skipped ({e!r})",
-                  file=sys.stderr)
-        finally:
-            signal.alarm(0)
 
     # vs_baseline is measured like-for-like: the reference's published
     # 484/459 MB/s were taken on ITS synthetic repeated-JSON corpus with

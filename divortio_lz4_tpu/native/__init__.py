@@ -111,6 +111,11 @@ _lib.lz4t_chain_serialize.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ctypes.c_void_p]
 
+_lib.lz4t_chain_serialize16.restype = ctypes.c_int64
+_lib.lz4t_chain_serialize16.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ctypes.c_void_p]
+
 _ERRORS = {
     -1: "LZ4: Output Buffer Too Small",
     -2: "LZ4: Malformed Input",
@@ -316,6 +321,21 @@ def chain_serialize_native(work: np.ndarray, hist_len: int, src_len: int,
     assert len(work) >= hist_len + src_len + 8
     return int(_lib.lz4t_chain_serialize(
         _ptr(work), hist_len, src_len, _ptr(chain), _ptr(out)))
+
+
+def chain_serialize16_native(work: np.ndarray, hist_len: int, src_len: int,
+                             dist16: np.ndarray, out: np.ndarray) -> int:
+    """u16 dist-only chain serializer (see lz4t_chain_serialize16): the
+    device ships 2 bytes/position and the next match is found by scanning
+    for the next nonzero distance. Wire bytes identical to
+    chain_serialize_native over the packed form. Same padding contract."""
+    assert work.dtype == np.uint8 and work.flags.c_contiguous
+    assert dist16.dtype == np.uint16 and dist16.flags.c_contiguous
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    assert len(work) >= hist_len + src_len + 8
+    assert len(dist16) >= src_len
+    return int(_lib.lz4t_chain_serialize16(
+        _ptr(work), hist_len, src_len, _ptr(dist16), _ptr(out)))
 
 
 # --- Registration ---

@@ -1085,4 +1085,84 @@ int64_t lz4t_chain_serialize(const uint8_t* work, int64_t hist_len,
   return d + lit;
 }
 
+// u16 dist-only variant of lz4t_chain_serialize (round 4): the device
+// ships ONLY a u16 match distance per payload position (0 = no candidate;
+// ops/hybrid_encode.build_dist_chains) — half the device->host bytes and
+// no reverse-cummin pass on device. The next matchable position is found
+// here by scanning for the next nonzero distance (8-byte strides — a
+// memchr-class pass over memory the selector walks anyway). Selection,
+// exact extension, and emission are identical to lz4t_chain_serialize, so
+// the wire bytes are identical too. Returns bytes written.
+int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
+                               int64_t src_len, const uint16_t* dist16,
+                               uint8_t* out) {
+  const int64_t mf_limit = src_len - MF_LIMIT;
+  const int64_t match_limit = src_len - LAST_LITERALS;
+  const uint8_t* pay = work + hist_len;
+  int64_t o = 0, d = 0;
+  if (src_len > 0 && mf_limit > 0) {
+    int64_t m = 0;
+    for (;;) {
+      // next matchable position >= m (dist16 has >= src_len entries,
+      // zero beyond mf_limit, so the word stride never reads past cap)
+      while (m + 4 <= mf_limit) {
+        uint64_t v;
+        std::memcpy(&v, dist16 + m, 8);
+        if (v) break;
+        m += 4;
+      }
+      while (m < mf_limit && dist16[m] == 0) m++;
+      if (m >= mf_limit) break;
+      const int64_t dist = dist16[m];
+
+      // exact extension (first MIN_MATCH bytes equal by construction)
+      int64_t len = MIN_MATCH;
+      const uint8_t* a = pay + m;
+      const uint8_t* b = a - dist;
+      const int64_t lim = match_limit - m;
+      while (len + 8 <= lim) {
+        uint64_t x, y;
+        std::memcpy(&x, a + len, 8);
+        std::memcpy(&y, b + len, 8);
+        if (x != y) {
+          len += __builtin_ctzll(x ^ y) >> 3;
+          goto emit;
+        }
+        len += 8;
+      }
+      while (len < lim && a[len] == b[len]) len++;
+    emit:;
+      int64_t lit = m - o;
+      int64_t mcode = len - MIN_MATCH;
+      out[d++] = (uint8_t)((lit < 15 ? lit : 15) << 4
+                           | (mcode < 15 ? mcode : 15));
+      if (lit >= 15) {
+        int64_t rem = lit - 15;
+        while (rem >= 255) { out[d++] = 255; rem -= 255; }
+        out[d++] = (uint8_t)rem;
+      }
+      std::memcpy(out + d, pay + o, (size_t)lit);
+      d += lit;
+      out[d++] = (uint8_t)(dist & 0xFF);
+      out[d++] = (uint8_t)(dist >> 8);
+      if (mcode >= 15) {
+        int64_t rem = mcode - 15;
+        while (rem >= 255) { out[d++] = 255; rem -= 255; }
+        out[d++] = (uint8_t)rem;
+      }
+      o = m + len;
+      m = o;
+    }
+  }
+  int64_t lit = src_len - o;
+  out[d++] = (uint8_t)((lit < 15 ? lit : 15) << 4);
+  if (lit >= 15) {
+    int64_t rem = lit - 15;
+    while (rem >= 255) { out[d++] = 255; rem -= 255; }
+    out[d++] = (uint8_t)rem;
+  }
+  std::memcpy(out + d, pay + o, (size_t)lit);
+  return d + lit;
+}
+
 }  // extern "C"

@@ -115,8 +115,27 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     ratio noise is the only exposure — fenced by the adversarial ratio
     gate (tests/test_hybrid_encode.py) and the bench's <=-reference assert.
     """
+    valid, dist = _cand_row(work, src_len, hist_len, hist_start)
+    cap = work.shape[0] - hist_len
+
+    # Payload-relative packing + reverse cummin: the minimum of
+    # (pos << 16 | dist) over positions >= a is held by the nearest valid
+    # position (pos dominates the high bits), carrying its dist along.
+    ip = jnp.arange(cap, dtype=jnp.uint32)
+    packed = jnp.where(valid[hist_len:],
+                       (ip << 16) | dist[hist_len:].astype(jnp.uint32),
+                       jnp.uint32(0xFFFFFFFF))
+    chain = jax.lax.cummin(packed, axis=0, reverse=True)
+    return chain.astype(jnp.int32)
+
+
+def _cand_row(work: jax.Array, src_len: jax.Array, hist_len: int,
+              hist_start: jax.Array):
+    """Shared candidate search (the sort phase): for every position, the
+    scored best previous same-word occurrence. Returns (valid bool[N],
+    dist i32[N]) over [history | payload] positions — the packers above
+    slice the payload range."""
     N = work.shape[0]
-    cap = N - hist_len
     assert N <= (1 << 17), "idx2 packs positions in 17 bits"
     idx = jnp.arange(N, dtype=jnp.int32)
     s_end = hist_len + src_len
@@ -215,17 +234,20 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
 
     recv_ok = (idx >= hist_len) & (idx < mf_limit)
     valid = (cand >= 0) & (idx - cand < WINDOW_SIZE) & recv_ok
-    dist = idx - cand
+    return valid, idx - cand
 
-    # Payload-relative packing + reverse cummin: the minimum of
-    # (pos << 16 | dist) over positions >= a is held by the nearest valid
-    # position (pos dominates the high bits), carrying its dist along.
-    ip = jnp.arange(cap, dtype=jnp.uint32)
-    packed = jnp.where(valid[hist_len:],
-                       (ip << 16) | dist[hist_len:].astype(jnp.uint32),
-                       jnp.uint32(0xFFFFFFFF))
-    chain = jax.lax.cummin(packed, axis=0, reverse=True)
-    return chain.astype(jnp.int32)
+
+def _dist_row(work: jax.Array, src_len: jax.Array, hist_len: int,
+              hist_start: jax.Array) -> jax.Array:
+    """u16 per-position match distance for one block row (0 = no match).
+
+    Same candidate search as ``_chain_row`` but WITHOUT the next-match
+    packing: the host serializer (lz4t_chain_serialize16) finds the next
+    matchable position by scanning for the next nonzero distance — an
+    SIMD-friendly memchr-class pass — so the device skips the reverse
+    cummin AND the fetch ships 2 bytes/position instead of 4."""
+    valid, dist = _cand_row(work, src_len, hist_len, hist_start)
+    return jnp.where(valid[hist_len:], dist[hist_len:], 0).astype(jnp.uint16)
 
 
 @functools.partial(jax.jit, static_argnames=("hist_len",))
@@ -235,6 +257,22 @@ def build_chains(work: jax.Array, lens: jax.Array, hist_len: int,
     hs = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32),
                           (work.shape[0],))
     return jax.vmap(_chain_row, in_axes=(0, 0, None, 0))(
+        work, lens, hist_len, hs)
+
+
+@functools.partial(jax.jit, static_argnames=("hist_len",))
+def build_dist_chains(work: jax.Array, lens: jax.Array, hist_len: int,
+                      hist_start: jax.Array) -> jax.Array:
+    """Vmapped u16 dist-only chains: i32[nb, N] work -> u16[nb, cap].
+
+    The chain-direct (split) encode's wire format: half the device->host
+    bytes of ``build_chains``' packed i32 and no reverse-cummin pass; the
+    host serializer scans for the next nonzero distance instead of jumping
+    (lz4t_chain_serialize16). Same candidates, same selected matches —
+    wire bytes stay identical to the packed form's."""
+    hs = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32),
+                          (work.shape[0],))
+    return jax.vmap(_dist_row, in_axes=(0, 0, None, 0))(
         work, lens, hist_len, hs)
 
 

@@ -3,19 +3,23 @@
 Round-3 device encoder, the mirror of ops/pallas_split_decode.py's split.
 The division of labor follows what each side is measurably good at:
 
-- **Device (XLA): the exhaustive candidate search.** ``build_chains``
+- **Device (XLA): the exhaustive candidate search.** ``build_dist_chains``
   (ops/hybrid_encode.py) finds, for EVERY payload position, the best
   previous identical-word occurrence — one fused lexicographic sort with
-  prefix-fingerprint scoring payloads, a reverse cummin packing
-  ``(next_matchable_pos << 16 | dist)`` per position. This is the
-  reference's hash-table match finder (blockCompress.js:53-71) made exact
-  and data-parallel; it is where the encode FLOPs live.
+  prefix-fingerprint scoring payloads — and ships it as a u16 match
+  distance per position (0 = none): 2 B/position on the link, no packing
+  scan. This is the reference's hash-table match finder
+  (blockCompress.js:53-71) made exact and data-parallel; it is where the
+  encode FLOPs live.
 
 - **Host (native C): greedy selection + exact extension + serialization.**
-  ``lz4t_chain_serialize`` walks anchor -> chain[anchor] ->
-  anchor + exact_extension at memcpy-class speed — O(sequences) work over
-  the fetched chain. The wire is BYTE-IDENTICAL to the hybrid Pallas
-  walk (engine="hybrid"): same chains, same greedy, same extension.
+  ``lz4t_chain_serialize16`` finds each next match by scanning the dist
+  array for the next nonzero (memchr-class), then exact-extends and
+  serializes at memcpy-class speed — O(sequences + positions-scanned)
+  work over the fetched chain. The wire is BYTE-IDENTICAL to the hybrid
+  Pallas walk (engine="hybrid"): same candidates, same greedy, same
+  extension. (Round 3 shipped the packed i32 ``(next_pos << 16 | dist)``
+  form — kept as the legacy path for the hybrid kernel's SMEM operand.)
 
 Why no device walk at all (measured, round 3 — docs/DESIGN.md):
 any per-sequence Pallas walk needs the scalar core to consume
@@ -41,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, block_bound
-from .hybrid_encode import build_chains, hybrid_max_bs
+from .hybrid_encode import build_dist_chains, hybrid_max_bs
 
 __all__ = ["encode_blocks_chain", "chain_select_serialize",
            "encode_block_split_host", "hybrid_max_bs"]
@@ -62,17 +66,18 @@ def encode_blocks_chain(work: np.ndarray, lens: np.ndarray, block_size: int,
       block_size: static payload capacity (% 1024 == 0, <= hybrid_max_bs()).
       hist_len: static history width (0 or WINDOW_SIZE).
 
-    Returns chains as a DEVICE array i32[nb, block_size] — fetch once and
-    feed rows to ``chain_select_serialize``. (interpret is accepted for
-    signature parity; the chain phase is plain XLA.)
+    Returns chains as a DEVICE array u16[nb, block_size] (match distance
+    per payload position, 0 = none) — fetch once and feed rows to
+    ``chain_select_serialize``. (interpret is accepted for signature
+    parity; the chain phase is plain XLA.)
     """
     del interpret
     nb, NW = work.shape
     assert NW == hist_len + block_size and block_size % 1024 == 0
     assert block_size <= hybrid_max_bs()
     hs = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32), (nb,))
-    return build_chains(jnp.asarray(work).astype(jnp.int32),
-                        jnp.asarray(lens), hist_len, hs)
+    return build_dist_chains(jnp.asarray(work).astype(jnp.int32),
+                             jnp.asarray(lens), hist_len, hs)
 
 
 def chain_select_serialize(work: np.ndarray, hist_len: int, src_len: int,
@@ -81,10 +86,24 @@ def chain_select_serialize(work: np.ndarray, hist_len: int, src_len: int,
 
     *work* = [history | payload] bytes with >= 8 bytes of readable slack
     after hist_len + src_len (callers pad; the native extension compares
-    8-byte words). Returns the block's wire bytes."""
+    8-byte words). *chain* is either the u16 dist-only form
+    (``build_dist_chains``, the production wire format) or the legacy
+    packed i32 ``(next_pos << 16 | dist)`` form — the wire bytes are
+    identical. Returns the block's wire bytes."""
     out = np.empty(block_bound(src_len) + 16, np.uint8)
-    chain = np.ascontiguousarray(chain, dtype=np.int32)
     work = np.ascontiguousarray(work, dtype=np.uint8)
+    if chain.dtype == np.uint16:
+        dist16 = np.ascontiguousarray(chain)
+        try:
+            from ..native import chain_serialize16_native
+        except Exception:
+            chain_serialize16_native = None
+        if chain_serialize16_native is not None:
+            n = chain_serialize16_native(work, hist_len, src_len, dist16,
+                                         out)
+            return out[:n]
+        return _chain_serialize16_py(work, hist_len, src_len, dist16)
+    chain = np.ascontiguousarray(chain, dtype=np.int32)
     try:
         from ..native import chain_serialize_native
     except Exception:
@@ -93,6 +112,66 @@ def chain_select_serialize(work: np.ndarray, hist_len: int, src_len: int,
         n = chain_serialize_native(work, hist_len, src_len, chain, out)
         return out[:n]
     return _chain_serialize_py(work, hist_len, src_len, chain)
+
+
+def _chain_serialize16_py(work: np.ndarray, hist_len: int, src_len: int,
+                          dist16: np.ndarray) -> np.ndarray:
+    """Pure-Python fallback for lz4t_chain_serialize16 (scan-based next
+    match; wire identical to the packed-chain path)."""
+    mf_limit = src_len - MF_LIMIT
+    match_limit = src_len - LAST_LITERALS
+    pay = work[hist_len:]
+    parts = []
+    o = 0
+    if src_len > 0 and mf_limit > 0:
+        nz = np.nonzero(dist16[:mf_limit])[0]
+        zi = 0
+        m = 0
+        while True:
+            # next matchable position >= m
+            zi += int(np.searchsorted(nz[zi:], m))
+            if zi >= len(nz):
+                break
+            m = int(nz[zi])
+            dist = int(dist16[m])
+            lim = match_limit - m
+            a = pay[m: m + lim]
+            b = work[hist_len + m - dist: hist_len + m - dist + lim]
+            neq = np.nonzero(a != b)[0]
+            ln = int(neq[0]) if len(neq) else lim
+            ln = max(ln, MIN_MATCH)
+            lit = m - o
+            mcode = ln - MIN_MATCH
+            head = [min(lit, 15) << 4 | min(mcode, 15)]
+            if lit >= 15:
+                rem = lit - 15
+                while rem >= 255:
+                    head.append(255)
+                    rem -= 255
+                head.append(rem)
+            parts.append(np.array(head, np.uint8))
+            parts.append(pay[o: o + lit])
+            tail = [dist & 0xFF, dist >> 8]
+            if mcode >= 15:
+                rem = mcode - 15
+                while rem >= 255:
+                    tail.append(255)
+                    rem -= 255
+                tail.append(rem)
+            parts.append(np.array(tail, np.uint8))
+            o = m + ln
+            m = o
+    lit = src_len - o
+    head = [min(lit, 15) << 4]
+    if lit >= 15:
+        rem = lit - 15
+        while rem >= 255:
+            head.append(255)
+            rem -= 255
+        head.append(rem)
+    parts.append(np.array(head, np.uint8))
+    parts.append(pay[o: o + lit])
+    return np.concatenate(parts)
 
 
 def _chain_serialize_py(work: np.ndarray, hist_len: int, src_len: int,

@@ -1124,16 +1124,44 @@ def _decode_linked(buf, blocks, bs, window=None) -> np.ndarray:
 # tiers already do.
 # ---------------------------------------------------------------------------
 
+def _fetch_stacked(arrs):
+    """Fetch a list of queued device arrays with ONE host sync per
+    distinct (trailing-shape, dtype) group: concatenate on device and pull
+    a single buffer — on the tunneled link every separate np.asarray pays
+    its own ~30 ms dispatch+sync round trip, which dominated the
+    multi-frame path when fetched per frame. Returns numpy views in input
+    order."""
+    if not arrs:
+        return []
+    res = [None] * len(arrs)
+    groups = {}
+    for idx, a in enumerate(arrs):
+        groups.setdefault((tuple(a.shape[1:]), str(a.dtype)),
+                          []).append(idx)
+    for idxs in groups.values():
+        if len(idxs) == 1:
+            res[idxs[0]] = np.asarray(arrs[idxs[0]])
+            continue
+        flat = np.asarray(jnp.concatenate([arrs[i] for i in idxs], axis=0))
+        pos = 0
+        for i in idxs:
+            r = arrs[i].shape[0]
+            res[i] = flat[pos: pos + r]
+            pos += r
+    return res
+
+
 def device_compress_frames(datas, config: FrameConfig = DEFAULT_CONFIG,
                            dictionary=None, engine: str = "split"):
     """Encode N payloads into N frames with device dispatches PIPELINED.
 
     Phase 1 queues every frame's chain-kernel dispatches (JAX dispatch is
-    async); phase 2 runs the host select/serialize per frame — while the
-    host serializes frame k, the device is already computing frame k+1's
-    chains. Shapes stay canonical (per-frame chunking unchanged), so no
-    new kernel compiles. Falls back to serial device_compress_frame calls
-    for configurations the chain-direct path doesn't serve.
+    async); phase 2 pulls EVERY frame's chains in one stacked fetch (one
+    link sync instead of one per frame), then runs the host
+    select/serialize per frame. Shapes stay canonical (per-frame chunking
+    unchanged), so no new kernel compiles. Falls back to serial
+    device_compress_frame calls for configurations the chain-direct path
+    doesn't serve.
     """
     datas = list(datas)
     eligible = engine == "split" and config.block_independence \
@@ -1146,7 +1174,16 @@ def device_compress_frames(datas, config: FrameConfig = DEFAULT_CONFIG,
                                       engine=engine) for d in datas]
     states = [_compress_independent_split(d, config, dictionary, defer=True)
               for d in datas]
-    return [_split_encode_fetch(s) for s in states]
+    fetched = _fetch_stacked([c for s in states for (_, _, c) in s[6]])
+    k = 0
+    out = []
+    for s in states:
+        pend = []
+        for (i, rows, _c) in s[6]:
+            pend.append((i, rows, fetched[k]))
+            k += 1
+        out.append(_split_encode_fetch(s[:6] + (pend,) + s[7:]))
+    return out
 
 
 def device_decompress_frames(frames, verify_checksum: bool = True,
@@ -1181,8 +1218,18 @@ def device_decompress_frames(frames, verify_checksum: bool = True,
         state = _decode_independent_split(buf, blocks, bs, window,
                                           defer=True)
         pend.append((i, state, header, buf, tail))
+    # ONE stacked fetch for every frame's decoded chunks (per-frame
+    # np.asarray paid a ~30 ms link sync each).
+    fetched = _fetch_stacked([out for _, st, _, _, _ in pend
+                              for (_, out) in st[1]])
+    k = 0
     for i, state, header, buf, tail in pend:
-        out = _split_decode_fetch(state)
+        nb_f, pend_f, out_lens_f = state
+        np_pend = []
+        for (sel, _out) in pend_f:
+            np_pend.append((sel, fetched[k]))
+            k += 1
+        out = _split_decode_fetch((nb_f, np_pend, out_lens_f))
         if header["content_checksum"] and verify_checksum:
             if tail + 4 > len(buf):
                 raise ValueError("LZ4: Malformed Input")

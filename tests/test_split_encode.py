@@ -8,6 +8,7 @@ import pytest
 import divortio_lz4_tpu as lz4
 from divortio_lz4_tpu.ops.hybrid_encode import encode_block_hybrid_host
 from divortio_lz4_tpu.ops.split_encode import (
+    _chain_serialize16_py,
     _chain_serialize_py,
     chain_select_serialize,
     encode_block_split_host,
@@ -107,15 +108,26 @@ def test_chain_encode_history_row(compressible):
 
 
 def test_chain_serializers_agree(compressible):
+    """Native u16 == Python u16 == legacy packed-i32 serializer, over the
+    same candidate search."""
+    import jax.numpy as jnp
+
+    from divortio_lz4_tpu.ops.hybrid_encode import build_chains
+
     data = np.asarray(compressible(8192))
     work = data.astype(np.int32).reshape(1, -1)
-    chains = np.asarray(encode_blocks_chain(
-        work, np.array([8192], np.int32), 8192))
+    lens = np.array([8192], np.int32)
+    chains = np.asarray(encode_blocks_chain(work, lens, 8192))
+    assert chains.dtype == np.uint16
     wk = np.zeros(8192 + 8, np.uint8)
     wk[:8192] = data
     a = chain_select_serialize(wk, 0, 8192, chains[0])
-    b = _chain_serialize_py(wk, 0, 8192, chains[0])
+    b = _chain_serialize16_py(wk, 0, 8192, chains[0])
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    packed = np.asarray(build_chains(jnp.asarray(work), jnp.asarray(lens),
+                                     0, 0))
+    c = _chain_serialize_py(wk, 0, 8192, packed[0])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
 def test_chain_encode_long_match_single_sequence(rng):
