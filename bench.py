@@ -166,13 +166,12 @@ def bench_device(corpus: np.ndarray, block_size: int, runs: int):
 
 def bench_device_frames(corpus: np.ndarray, block_size: int, runs: int):
     """END-TO-END device codec path, engines chosen for THIS link: encode
-    via engine='hybrid', decode via engine='pallas'. The split engines are
-    kernel-fastest (see the kernel tiers) but ship ~2x the wire bytes
-    (placed-literal image + records vs compressed stream), which loses on
-    this environment's ~20-30 MB/s tunneled host link; 'pallas' parses on
-    device from the compressed bytes. Includes host<->device transfers,
-    block-index scan, and frame assembly — the real offload path, not a
-    kernel microbench."""
+    via engine='hybrid' (ships 4 MB up, ~1.3 MB down — the split encode's
+    u16 chain fetch is 2 B/position, better than round 3's 4 but still
+    link-bound here), decode via engine='split' (the round-4 wire-direct
+    records ship ~1.3x plaintext and measured 11.3 vs pallas 7.0 MB/s e2e
+    on this link). Includes host<->device transfers, block-index scan, and
+    frame assembly — the real offload path, not a kernel microbench."""
     import jax
 
     import divortio_lz4_tpu as lz4
@@ -192,7 +191,7 @@ def bench_device_frames(corpus: np.ndarray, block_size: int, runs: int):
         t_enc.append(time.perf_counter() - t0)
 
     def dec():
-        return device_decompress_frame(frame, engine="pallas")
+        return device_decompress_frame(frame, engine="split")
 
     out = dec()
     ok = np.array_equal(np.asarray(out), corpus)

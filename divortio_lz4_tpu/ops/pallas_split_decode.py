@@ -576,12 +576,13 @@ def _make_wire_kernel(ways: int, cap: int, rw: int, wire_nr: int,
 
         def read_at(ref, q, ls):
             """Two rows of *ref* rolled so byte q+t sits at lane (ls+t)%128
-            — same roll for both rows; the caller's mask picks per lane."""
+            — ONE (2,128) slice + ONE roll (both rows shift by the same
+            amount; splitting back to (1,128) views is free). The separate
+            per-row read+roll form costs 2 extra vector ops per call
+            (4/record — measured in the round-4 op budget)."""
             sq = q % LANES
-            sh = ls - sq
-            r0 = pltpu.roll(ref[pl.ds(q // LANES, 1), :], sh, axis=1)
-            r1 = pltpu.roll(ref[pl.ds(q // LANES + 1, 1), :], sh, axis=1)
-            return r0, r1, sq
+            x = pltpu.roll(ref[pl.ds(q // LANES, 2), :], ls - sq, axis=1)
+            return x[0:1, :], x[1:2, :], sq
 
         def do_record(io_ref, wire_base, w0, w1, w2):
             if rw == 3:
@@ -607,10 +608,15 @@ def _make_wire_kernel(ways: int, cap: int, rw: int, wire_nr: int,
 
             s = dst % LANES
             t = (iota - s) & (LANES - 1)
+            # Row-crossing selects compare t against a SCALAR boundary
+            # (128 - source-lane phase) — one vector cmp each; the
+            # vector-add forms cost an extra op per select. vm's t-ll
+            # skips the &127: lanes with t < ll take vl in comb, so their
+            # vm value is dead either way.
             l0, l1, sql = read_at(wire_ref, wire_base + src, s)
-            vl = jnp.where(t + sql < LANES, l0, l1)
+            vl = jnp.where(t < LANES - sql, l0, l1)
             m0, m1, sqm = read_at(io_ref, msrc, (s + ll) % LANES)
-            vm = jnp.where(((t - ll) & (LANES - 1)) + sqm < LANES, m0, m1)
+            vm = jnp.where(t - ll < LANES - sqm, m0, m1)
             comb = jnp.where(t < ll, vl, vm)
 
             # Row j masked on both edges (lanes below s hold earlier

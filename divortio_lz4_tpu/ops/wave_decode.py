@@ -83,12 +83,12 @@ def _make_wave_kernel(cap: int, wire_nr: int, win_nr: int, chunk_nr: int,
 
         def read_at(ref, q, ls):
             """Two rows of *ref* rolled so byte q+t sits at lane
-            (ls+t)%128 — same roll both rows, caller's mask picks."""
+            (ls+t)%128 — ONE (2,128) slice + ONE roll (both rows shift by
+            the same amount; the (1,128) views are free). Same trim as
+            pallas_split_decode.read_at."""
             sq = q % LANES
-            sh = ls - sq
-            r0 = pltpu.roll(ref[pl.ds(q // LANES, 1), :], sh, axis=1)
-            r1 = pltpu.roll(ref[pl.ds(q // LANES + 1, 1), :], sh, axis=1)
-            return r0, r1, sq
+            x = pltpu.roll(ref[pl.ds(q // LANES, 2), :], ls - sq, axis=1)
+            return x[0:1, :], x[1:2, :], sq
 
         def body(i, _):
             w0 = recs_ref[(3 * i) // LANES, (3 * i) % LANES]
@@ -107,10 +107,12 @@ def _make_wave_kernel(cap: int, wire_nr: int, win_nr: int, chunk_nr: int,
 
             s = dst % LANES
             t = (iota - s) & (LANES - 1)
+            # Scalar-boundary row-crossing selects; vm's t-ll skips the
+            # &127 (lanes with t < ll take vl — dead value either way).
             l0, l1, sql = read_at(wire_ref, src, s)
-            vl = jnp.where(t + sql < LANES, l0, l1)
+            vl = jnp.where(t < LANES - sql, l0, l1)
             m0, m1, sqm = read_at(io_ref, msrc, (s + ll_c) % LANES)
-            vm = jnp.where(((t - ll_c) & (LANES - 1)) + sqm < LANES, m0, m1)
+            vm = jnp.where(t - ll_c < LANES - sqm, m0, m1)
             comb = jnp.where(t < ll_c, vl, vm)
 
             e = s + tot
@@ -139,10 +141,9 @@ def _make_wave_kernel(cap: int, wire_nr: int, win_nr: int, chunk_nr: int,
         def ccpy(k, _):
             q = total + k * LANES
             sq = q % LANES
-            r0 = pltpu.roll(io_ref[pl.ds(q // LANES, 1), :], -sq, axis=1)
-            r1 = pltpu.roll(io_ref[pl.ds(q // LANES + 1, 1), :], -sq,
-                            axis=1)
-            io_ref[pl.ds(k, 1), :] = jnp.where(iota < LANES - sq, r0, r1)
+            x = pltpu.roll(io_ref[pl.ds(q // LANES, 2), :], -sq, axis=1)
+            io_ref[pl.ds(k, 1), :] = jnp.where(iota < LANES - sq,
+                                               x[0:1, :], x[1:2, :])
             return 0
         jax.lax.fori_loop(0, win_nr, ccpy, 0)
 
