@@ -454,7 +454,22 @@ def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
         tsR.append(time.perf_counter() - t0)
     kern = max((float(np.median(tsR)) - float(np.median(ts1))) / (R - 1),
                1e-9)
-    return nb * block_size, kern, t_ser, comp, ref_total
+    # Steady-state PIPELINED batch: R chain batches queued async on device
+    # while the host select/serializes R batches concurrently (the
+    # device_compress_frames structure) — measured overlap, hard-synced,
+    # per-batch wall ~ max(chain, serialize) instead of their sum.
+    tsP = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        h = chains_fn(R)
+        for _ in range(R):
+            with ThreadPoolExecutor(nthreads) as ex:
+                list(ex.map(_ser_one, range(nb)))
+        _ = int(jnp.sum(h[0, :8]))
+        tsP.append((time.perf_counter() - t0) / R)
+    pipe = max(float(np.median(tsP)) - (float(np.median(ts1)) - kern) / R,
+               1e-9)
+    return nb * block_size, kern, t_ser, pipe, comp, ref_total
 
 
 def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):
@@ -509,10 +524,20 @@ def bench_pallas_encode(corpus: np.ndarray, block_size: int, runs: int):
 def bench_device_bigblock(corpus: np.ndarray, runs: int):
     """Device tier at the reference's DEFAULT config (4 MB blocks,
     bufferCompress.js:100): segmented encode (parallel/bigblock.py) +
-    piece-chained Pallas decode. Returns (t_enc, t_dec, comp_len, ok)."""
+    one-dispatch wave decode (ops/wave_decode.py). The e2e walls are
+    transfer-bound on this tunneled link, so the decode also reports a
+    kernel-AMORTIZED rate (R queued wave dispatches, one sync — what a
+    PCIe host sees). Returns (t_enc, t_dec, t_dec_kernel, comp_len, ok)."""
+    import jax
+    import jax.numpy as jnp
+
     import divortio_lz4_tpu as lz4
-    from divortio_lz4_tpu.parallel.bigblock import compress_frame_big
-    from divortio_lz4_tpu.parallel.device import device_decompress_frame
+    from divortio_lz4_tpu.ops.wave_decode import (
+        decode_chain_waves, plan_waves)
+    from divortio_lz4_tpu.parallel.bigblock import (
+        _plan_pieces, compress_frame_big)
+    from divortio_lz4_tpu.parallel.device import (
+        device_decompress_frame, parse_block_index)
 
     cfg = lz4.FrameConfig(block_size=4194304, block_independence=True)
     frame = compress_frame_big(corpus, cfg)  # compile + warm
@@ -528,8 +553,46 @@ def bench_device_bigblock(corpus: np.ndarray, runs: int):
         t0 = time.perf_counter()
         device_decompress_frame(frame, engine="split")
         t_dec.append(time.perf_counter() - t0)
-    return (float(np.median(t_enc)), float(np.median(t_dec)), len(frame),
-            ok)
+
+    # Kernel-amortized wave decode: pre-plan on host, queue R dispatches,
+    # one hard sync (the W-byte window scratch serializes a frame's waves
+    # INSIDE one dispatch; R dispatches amortize the link's fixed cost).
+    header, blocks, _tail = parse_block_index(np.asarray(frame), False)
+    plan = _plan_pieces(np.asarray(frame), blocks, header["block_max"])
+    planned = plan_waves(np.asarray(frame), plan, header["independent"], 0)
+    t_kern = float(np.median(t_dec))
+    if planned is not None:
+        interp = jax.default_backend() != "tpu"
+        wire, recs, meta, _totals = planned
+        d_wire = jax.device_put(jnp.asarray(wire))
+        d_recs = jax.device_put(jnp.asarray(recs))
+        d_meta = jax.device_put(jnp.asarray(meta))
+        d_win = jax.device_put(jnp.asarray(np.zeros(65536, np.uint8)))
+
+        def waves(reps=1):
+            for _ in range(reps):
+                o = decode_chain_waves(d_wire, d_recs, d_meta, d_win,
+                                       interp)
+            return o
+
+        o = waves()
+        _ = int(jnp.sum(o[0, :8]))
+        R = 4
+        ts1, tsR = [], []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            o = waves()
+            _ = int(jnp.sum(o[0, :8]))
+            ts1.append(time.perf_counter() - t0)
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            o = waves(R)
+            _ = int(jnp.sum(o[0, :8]))
+            tsR.append(time.perf_counter() - t0)
+        t_kern = max((float(np.median(tsR)) - float(np.median(ts1)))
+                     / (R - 1), 1e-9)
+    return (float(np.median(t_enc)), float(np.median(t_dec)), t_kern,
+            len(frame), ok)
 
 
 def bench_host(corpus: np.ndarray, block_size: int, runs: int):
@@ -669,16 +732,20 @@ def main():
                            corpus[:dev_size], args.block,
                            max(args.runs // 2, 1)))
         if res is not None:
-            cb, ck, cs, ccomp, cref = res
+            cb, ck, cs, cp, ccomp, cref = res
             print(f"bench[device-chain-encode/tpu]: {cb / 1e6:.0f}MB "
                   f"chains {ck * 1e3:.1f} ms amortized = "
                   f"{cb / ck / 1e6:.1f} MB/s; + host select/serialize "
                   f"{cs * 1e3:.1f} ms -> {cb / (ck + cs) / 1e6:.1f} MB/s "
-                  f"({ccomp} B out, {ccomp / cref:.4f}x vs reference "
-                  f"encoder {'OK' if ccomp <= cref else 'REGRESSION'})",
+                  f"serialized, {cb / cp / 1e6:.1f} MB/s pipelined "
+                  f"(serialize overlaps the next batch's chains, measured "
+                  f"{cp * 1e3:.1f} ms/batch) ({ccomp} B out, "
+                  f"{ccomp / cref:.4f}x vs reference encoder "
+                  f"{'OK' if ccomp <= cref else 'REGRESSION'})",
                   file=sys.stderr)
             extra["device_chain_encode_mbps"] = round(
                 cb / (ck + cs) / 1e6, 1)
+            extra["device_chain_pipelined_mbps"] = round(cb / cp / 1e6, 1)
             extra["device_chain_kernel_mbps"] = round(cb / ck / 1e6, 1)
             extra["device_ratio_vs_reference"] = round(ccomp / cref, 4)
         res = run_tier("hybrid encode", args.device_budget_s // 3,
@@ -734,16 +801,20 @@ def main():
                        lambda: bench_device_bigblock(
                            corpus[:dev_size], max(args.runs // 2, 1)))
         if res is not None:
-            bt_enc, bt_dec, bcomp, bok = res
+            bt_enc, bt_dec, bt_kern, bcomp, bok = res
             print(f"bench[device-bigblock/tpu]: {dev_size / 1e6:.0f}MB, "
                   f"block=4194304: enc {dev_size / bt_enc / 1e6:.1f} MB/s, "
-                  f"dec {dev_size / bt_dec / 1e6:.1f} MB/s, compressed "
-                  f"{bcomp}, bit-exact={'yes' if bok else 'NO'}",
+                  f"dec {dev_size / bt_dec / 1e6:.1f} MB/s e2e "
+                  f"({dev_size / bt_kern / 1e6:.1f} MB/s wave-kernel "
+                  f"amortized), compressed {bcomp}, "
+                  f"bit-exact={'yes' if bok else 'NO'}",
                   file=sys.stderr)
             extra["device_bigblock_enc_mbps"] = round(
                 dev_size / bt_enc / 1e6, 1)
             extra["device_bigblock_dec_mbps"] = round(
                 dev_size / bt_dec / 1e6, 1)
+            extra["device_bigblock_dec_kernel_mbps"] = round(
+                dev_size / bt_kern / 1e6, 1)
             dev_ok = dev_ok and bok
         # Secondary: the all-XLA data-parallel kernels (informational —
         # compiles can take ~25 min on a relay cache miss, hence the

@@ -233,57 +233,63 @@ def plan_waves(buf: np.ndarray, plan, independent: bool, dict_len: int):
     """
     chains = plan if independent else [
         [pc for pieces in plan for pc in pieces]]
-    waves = []  # (pieces, total, reset)
-    for pieces in chains:
-        cur, tot = [], 0
-        first = True
-        for pc in pieces:
-            if tot + pc[2] > WAVE_CHUNK and cur:
-                waves.append((cur, tot, first))
-                first = False
-                cur, tot = [], 0
-            cur.append(pc)
-            tot += pc[2]
-        if cur or first:
-            waves.append((cur, tot, first))
-
-    G = max(len(waves), 1)
+    # Single pass: parse each piece's records, then group pieces into
+    # waves bounded by BOTH the output chunk AND the record budget —
+    # grouping by output size alone left a silent XLA fallback whenever a
+    # dense (small-sequence) corpus pushed a 256 KB wave past
+    # MAX_WAVE_RECS (the canonical bench corpus sits at 97% of it). A
+    # piece's available history (dict + all preceding chain output) is the
+    # same on either side of a wave split, so records parse before the
+    # split decision with the same validation bound.
     recs_l, wires_l, metas = [], [], []
-    hist_avail = dict_len
-    for pieces, total, reset in waves:
-        if reset:
-            hist_avail = dict_len
+    for pieces in chains:
+        first = True
+        hist_avail = dict_len
         parts, rparts = [], []
-        wbase = obase = 0
+        tot = nrec = wbase = 0
+
+        def flush(reset, parts=None, rparts=None, tot=0):
+            recs_w = (np.concatenate(rparts) if rparts
+                      else np.empty((0, 2), np.uint32))
+            wires_l.append(np.concatenate(parts) if parts
+                           else np.empty(0, np.uint8))
+            recs_l.append(recs_w)
+            metas.append((len(recs_w), tot, 1 if reset else 0))
+
         for off, wl, ol, stored in pieces:
             pw = buf[off: off + wl]
             if stored:
                 r = stored_wire_records(wl)
             else:
-                r, got = parse_records_wire(pw, ol, hist_avail + obase)
+                r, got = parse_records_wire(pw, ol, hist_avail + tot)
                 if got != ol:
                     raise ValueError("LZ4: Malformed Input")
+            if parts and (tot + ol > WAVE_CHUNK
+                          or nrec + len(r) >= MAX_WAVE_RECS):
+                flush(first, parts, rparts, tot)
+                first = False
+                hist_avail = min(W, hist_avail + tot)
+                parts, rparts = [], []
+                tot = nrec = wbase = 0
             if len(r):
                 r = r.copy()
                 r[:, 0] += wbase
             parts.append(pw)
             rparts.append(r)
             wbase += wl
-            obase += ol
-        hist_avail = min(W, hist_avail + total)
-        wires_l.append(np.concatenate(parts) if parts
-                       else np.empty(0, np.uint8))
-        recs_l.append(np.concatenate(rparts) if rparts
-                      else np.empty((0, 2), np.uint32))
-        metas.append((len(recs_l[-1]), total, 1 if reset else 0))
-    while len(recs_l) < G:
+            tot += ol
+            nrec += len(r)
+        if parts or first:
+            flush(first, parts, rparts, tot)
+    if not metas:
+        metas.append((0, 0, 1))
         wires_l.append(np.empty(0, np.uint8))
         recs_l.append(np.empty((0, 2), np.uint32))
-        metas.append((0, 0, 1))
+    G = len(metas)
 
     max_recs = max((len(r) for r in recs_l), default=1)
     if max_recs >= MAX_WAVE_RECS:
-        return None
+        return None  # a LONE piece over budget (pathological ~3 B seqs)
     max_wire = max((len(w) for w in wires_l), default=1)
     wire_cap = _round_up(max_wire + SLACK, 1024)
     cap = _round_up(max_recs + 1, 2048)
