@@ -173,8 +173,8 @@ def decode_chain_waves(wire: jax.Array, recs: jax.Array, meta: jax.Array,
     io_nr = _round_up(W + chunk + SLACK, 1024) // LANES  # sublanes % 8
     wire_nr = wire_bytes // LANES
 
-    words, rw = _expand_wire_records(recs, chunk)
-    assert rw == 3
+    words, fmt = _expand_wire_records(recs, chunk)
+    assert fmt == "w3"  # wave records are the wide u32 form
     words = words.reshape(G * cap * 3 // LANES, LANES)
     wire_i = wire.astype(jnp.int32).reshape(G * wire_nr, LANES)
     win_i = init_win.astype(jnp.int32).reshape(win_nr, LANES)
