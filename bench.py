@@ -282,7 +282,7 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         [(c, False) for c in comps], block_size)
     t_parse = time.perf_counter() - t0
 
-    rw = 1.5 if recs.dtype == np.uint16 else 3
+    rw = 2 if recs.dtype == np.uint16 else 3
     ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1],
                           _round_up(block_size + SLACK, 1024), 0)
     order_p, trips = build_sorted_batch(counts, ways)

@@ -531,23 +531,29 @@ def _expand_wire_records(recs: jax.Array, out_cap: int):
     """Device-side record packing for the kernel's SMEM word layout; runs
     inside the decode jit, fused ahead of the pallas_call.
 
-    Narrow (u16 triplets src/off/llml) -> PACKED 6 B/record ("p6"):
-    consecutive u16 fields pair into i32 words, 3 words per TWO records —
-    no dst field at all (the kernel carries each way's output position as
-    a running scalar: records tile the output in order, so dst is just
-    the accumulated ll+ml — which also drops the cumsum prepass and the
-    u16-dst clamp wart) and no 2-word padding, so a record costs 1.5 SMEM
-    words and 6 link bytes instead of 8.
+    Narrow (u16 triplets src/off/llml) -> 2 words/record ("n2"):
+    (src|llml<<16, dst|off<<16) with dst from one cumsum over ll+ml
+    (records tile the output in order). A packed 6 B "p6" form with a
+    running-dst scalar carried in the kernel loop was built and measured
+    SLOWER (19.0-19.3 ms vs 16.6 at the bench shape, any ways): the
+    loop-carried dst chain serializes the interleave — an SMEM-resident
+    dst keeps every record's body independent. (The LINK already ships
+    the 6 B u16 triplets either way; this is only the SMEM form.)
 
     Wide (u32 pairs, blocks whose wire exceeds u16 addressing) -> 3
     words/record (src, off|ll<<16|ml<<24, dst via cumsum), unchanged.
 
-    Returns (words i32[nb, nwords], fmt) with fmt in {"p6", "w3"}."""
+    Returns (words i32[nb, nwords], fmt) with fmt in {"n2", "w3"}."""
     nb, cap = recs.shape[0], recs.shape[1]
     if recs.dtype == jnp.uint16:
-        r = recs.astype(jnp.int32).reshape(nb, cap * 3)
-        words = r[:, 0::2] | (r[:, 1::2] << 16)
-        return words, "p6"
+        r = recs.astype(jnp.int32)
+        src, off, llml = r[..., 0], r[..., 1], r[..., 2]
+        tot = (llml & 0xFF) + ((llml >> 8) & 0xFF)
+        dst = jnp.cumsum(tot, axis=1) - tot
+        dst = jnp.minimum(dst, min(out_cap, 0xFFFF))  # keep the u16 field
+        w0 = src | (llml << 16)
+        w1 = dst | (off << 16)
+        return jnp.stack([w0, w1], -1).reshape(nb, cap * 2), "n2"
     r = recs.astype(jnp.int32)
     src, w1 = r[..., 0], r[..., 1]
     tot = ((w1 >> 16) & 0xFF) + ((w1 >> 24) & 0xFF)
@@ -560,15 +566,12 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
                       io_nr: int, hist_nr: int, out_base: int, out_cap: int):
     """Interleaved wire-direct record kernel (see the v2 section header).
 
-    Refs: trips (SMEM prefetch), recs (SMEM; fmt "p6" = 3 words per TWO
-    records, "w3" = 3 words/record), wire (VMEM, per-way compressed
-    images, shared read-only ref), [hist (VMEM, per-way history rows —
-    only when out_base > 0)], ways x io outputs.
-
-    fmt "p6" carries each way's output position as a RUNNING SCALAR in
-    the fori carry (records tile the output in order, so dst is the
-    accumulated ll+ml) and processes records in pairs so the 16-bit field
-    extraction keeps static word parity."""
+    Refs: trips (SMEM prefetch), recs (SMEM; fmt "n2" = 2 words/record,
+    "w3" = 3 words/record), wire (VMEM, per-way compressed images, shared
+    read-only ref), [hist (VMEM, per-way history rows — only when
+    out_base > 0)], ways x io outputs. dst lives IN the records (cumsum
+    on device): a running-dst carry measured slower — see
+    _expand_wire_records."""
     bs_limit = out_base + out_cap
 
     def kernel(trips_ref, recs_ref, wire_ref, *rest):
@@ -599,9 +602,9 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
             return x[0:1, :], x[1:2, :], sq
 
         def do_record(io_ref, wire_base, src, off, ll, ml, dst):
-            """Copy one record at absolute output position *dst*; returns
-            dst + tot. Hostile-record clamps: records normally come from
-            our own parser; garbage must still stay inside the refs."""
+            """Copy one record at absolute output position *dst*.
+            Hostile-record clamps: records normally come from our own
+            parser; garbage must still stay inside the refs."""
             tot = jnp.clip(ll + ml, 0, jnp.minimum(LANES, bs_limit - dst))
             ll = jnp.minimum(ll, tot)
             off = jnp.maximum(off, 1)
@@ -634,51 +637,36 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
             io_ref[pl.ds(j, 1), :] = jnp.where((iota >= s) & (iota < e),
                                                comb, d0)
             io_ref[pl.ds(j + 1, 1), :] = comb
-            return dst + tot
 
-        if fmt == "p6":
-            wpw = cap * 3 // 2  # SMEM words per way
+        rw = 2 if fmt == "n2" else 3
 
-            def pair_body(i, dsts):
-                new = []
-                for r in range(ways):
-                    base = r * wpw
-                    wa = recs_ref[(base + 3 * i) // LANES,
-                                  (base + 3 * i) % LANES]
-                    wb = recs_ref[(base + 3 * i + 1) // LANES,
-                                  (base + 3 * i + 1) % LANES]
-                    wc = recs_ref[(base + 3 * i + 2) // LANES,
-                                  (base + 3 * i + 2) % LANES]
-                    wire_base = r * wire_nr * LANES
-                    d = do_record(io_refs[r], wire_base,
-                                  wa & 0xFFFF, (wa >> 16) & 0xFFFF,
-                                  wb & 0xFF, (wb >> 8) & 0xFF, dsts[r])
-                    d = do_record(io_refs[r], wire_base,
-                                  (wb >> 16) & 0xFFFF, wc & 0xFFFF,
-                                  (wc >> 16) & 0xFF, (wc >> 24) & 0xFF, d)
-                    new.append(d)
-                return tuple(new)
-
-            jax.lax.fori_loop(0, (trips_ref[g] + 1) // 2, pair_body,
-                              tuple(jnp.int32(out_base)
-                                    for _ in range(ways)))
-        else:
-            def body(i, _):
-                for r in range(ways):
-                    base_row = r * cap * 3 // LANES
-                    w0 = recs_ref[base_row + (3 * i) // LANES,
-                                  (3 * i) % LANES]
-                    w1 = recs_ref[base_row + (3 * i + 1) // LANES,
-                                  (3 * i + 1) % LANES]
+        def body(i, _):
+            for r in range(ways):
+                base_row = r * cap * rw // LANES
+                w0 = recs_ref[base_row + (rw * i) // LANES,
+                              (rw * i) % LANES]
+                w1 = recs_ref[base_row + (rw * i + 1) // LANES,
+                              (rw * i + 1) % LANES]
+                if fmt == "n2":
+                    src = w0 & 0xFFFF
+                    ll = (w0 >> 16) & 0xFF
+                    ml = (w0 >> 24) & 0xFF
+                    dstr = w1 & 0xFFFF
+                    off = (w1 >> 16) & 0xFFFF
+                else:
                     w2 = recs_ref[base_row + (3 * i + 2) // LANES,
                                   (3 * i + 2) % LANES]
-                    dst = jnp.minimum(w2, out_cap) + out_base
-                    do_record(io_refs[r], r * wire_nr * LANES, w0,
-                              w1 & 0xFFFF, (w1 >> 16) & 0xFF,
-                              (w1 >> 24) & 0xFF, dst)
-                return 0
+                    src = w0
+                    off = w1 & 0xFFFF
+                    ll = (w1 >> 16) & 0xFF
+                    ml = (w1 >> 24) & 0xFF
+                    dstr = w2
+                dst = jnp.minimum(dstr, out_cap) + out_base
+                do_record(io_refs[r], r * wire_nr * LANES, src, off, ll,
+                          ml, dst)
+            return 0
 
-            jax.lax.fori_loop(0, trips_ref[g], body, 0)
+        jax.lax.fori_loop(0, trips_ref[g], body, 0)
 
     return kernel
 
@@ -686,7 +674,7 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
 def plan_ways_wire(cap: int, rw: float, wire_bytes: int, io_bytes: int,
                    hist_bytes: int) -> int:
     """Interleave width for the wire-direct kernel: the SMEM window holds
-    rw words/record (1.5 for the packed-6-byte narrow form, 3 wide), VMEM
+    rw words/record (2 narrow, 3 wide), VMEM
     holds wire + io (+ history) per way."""
     ways = 8
     while ways > 1 and (int(ways * cap * rw * 4) > SMEM_BUDGET
@@ -732,20 +720,14 @@ def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
     wire_nr = wire_bytes // LANES
     hist_nr = (W // LANES) if use_history else 0
 
-    if recs.dtype == jnp.uint16 and cap % 256:
-        # p6 packs 2 records into 3 words: cap must be a 256-multiple for
-        # whole SMEM rows (production caps are 1024-multiples; direct
-        # kernel callers may pass smaller).
-        recs = jnp.pad(recs, ((0, 0), (0, 256 - cap % 256), (0, 0)))
-        cap = recs.shape[1]
     words, fmt = _expand_wire_records(recs, block_size)
-    wpr = 1.5 if fmt == "p6" else 3  # SMEM words per record
+    wpr = 2 if fmt == "n2" else 3  # SMEM words per record
     ways = plan_ways_wire(cap, wpr, wire_bytes, io_bytes,
                           W if use_history else 0)
     assert nb % ways == 0, (nb, ways)
     nsteps = nb // ways
 
-    wpw = int(cap * wpr)  # words per way; cap % 256 == 0 keeps p6 exact
+    wpw = cap * wpr  # words per way
     assert wpw % LANES == 0, (cap, fmt)
     words = words.reshape(nb * wpw // LANES, LANES)
     wire_i = wire.astype(jnp.int32).reshape(nb * wire_nr, LANES)
@@ -846,7 +828,7 @@ def decode_wire_blocks2(comps, block_size: int,
         interpret = jax.default_backend() != "tpu"
     wire, recs, counts, out_lens, _ = parse_wire_batch(
         [(c, False) for c in comps], block_size)
-    rw = 1.5 if recs.dtype == np.uint16 else 3
+    rw = 2 if recs.dtype == np.uint16 else 3
     ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1],
                           _round_up(block_size + SLACK, 1024), 0)
     order_p, trips = build_sorted_batch(counts, ways)

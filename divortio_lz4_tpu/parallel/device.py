@@ -936,7 +936,7 @@ def _decode_independent_split(buf, blocks, bs, window=None,
     entries = [(buf[off: off + size], stored) for off, size, stored in blocks]
     wire, recs, counts, out_lens, hist = parse_wire_batch(entries, bs,
                                                           window)
-    rw = 1.5 if recs.dtype == np.uint16 else 3
+    rw = 2 if recs.dtype == np.uint16 else 3
     ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1], io_bytes,
                           SP_W if use_history else 0)
     interpret = jax.default_backend() != "tpu"
