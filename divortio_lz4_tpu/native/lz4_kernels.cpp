@@ -1092,7 +1092,15 @@ int64_t lz4t_chain_serialize(const uint8_t* work, int64_t hist_len,
 // here by scanning for the next nonzero distance (8-byte strides — a
 // memchr-class pass over memory the selector walks anyway). Selection,
 // exact extension, and emission are identical to lz4t_chain_serialize, so
-// the wire bytes are identical too. Returns bytes written.
+// the wire bytes are identical too on exact chains.
+//
+// Round-4 sort diet: the production chain phase sorts a HASHED window key
+// (ops/hybrid_encode, hashed=True), so a candidate's first 4 bytes are no
+// longer equal by construction — a hash collision can claim a false match.
+// The 4-byte verify below rejects those (skip to the next nonzero), the
+// same verification the reference's collision-prone 16K table does at
+// blockCompress.js:64-66. Exact chains never trigger it. Returns bytes
+// written.
 int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
                                int64_t src_len, const uint16_t* dist16,
                                uint8_t* out) {
@@ -1115,7 +1123,16 @@ int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
       if (m >= mf_limit) break;
       const int64_t dist = dist16[m];
 
-      // exact extension (first MIN_MATCH bytes equal by construction)
+      // verify the claimed match (hashed-chain collision guard); a false
+      // candidate costs one compare and the scan moves on
+      {
+        uint32_t wa, wb;
+        std::memcpy(&wa, pay + m, 4);
+        std::memcpy(&wb, pay + m - dist, 4);
+        if (wa != wb) { m++; continue; }
+      }
+
+      // exact extension (first MIN_MATCH bytes verified above)
       int64_t len = MIN_MATCH;
       const uint8_t* a = pay + m;
       const uint8_t* b = a - dist;

@@ -130,11 +130,35 @@ def _chain_row(work: jax.Array, src_len: jax.Array, hist_len: int,
 
 
 def _cand_row(work: jax.Array, src_len: jax.Array, hist_len: int,
-              hist_start: jax.Array):
+              hist_start: jax.Array, hashed: bool = False):
     """Shared candidate search (the sort phase): for every position, the
     scored best previous same-word occurrence. Returns (valid bool[N],
     dist i32[N]) over [history | payload] positions — the packers above
-    slice the payload range."""
+    slice the payload range.
+
+    Two key layouts (round 4):
+
+    - ``hashed=False`` (the hybrid walk's): 3 sorted operands
+      ``(word, bad|interior|idx|fp13, scoreAB)`` with num_keys=2 — EXACT
+      word buckets, so a selected candidate's first MIN_MATCH bytes are
+      equal by construction (the Pallas walk extends from MIN_MATCH
+      without verifying).
+
+    - ``hashed=True`` (the chain-direct production path's sort diet): the
+      word is HASHED into the single sort key
+      ``hash << (ibits+2) | bad | interior | idx`` and the scoring tiers
+      pack into ONE u32 payload — 2 sorted operands, num_keys=1, ~8
+      sorted bytes/position instead of 12. This is the TPU-native form of
+      the reference's 16K hash table WITH its collision exposure
+      (blockCompress.js:13-17,64-66): a different word can share a bucket,
+      so candidates are claims, not guarantees — the host serializer
+      verifies 4 bytes and skips false candidates
+      (lz4t_chain_serialize16). An extra 8-bit word-check in the payload
+      keeps the false-claim rate ~2^-22 per pred, so incompressible data
+      doesn't flood the host scan. Bucket counts: 64 KB independent
+      blocks get 2^14 buckets (the reference's own geometry), history
+      rows 2^13.
+    """
     N = work.shape[0]
     assert N <= (1 << 17), "idx2 packs positions in 17 bits"
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -174,8 +198,6 @@ def _cand_row(work: jax.Array, src_len: jax.Array, hist_len: int,
         return _range_hash(d // 2) * jnp.uint32(0x9E3779B1) + _range_hash(d)
 
     t16, t64, t256 = _tier(16), _tier(64), _tier(256)
-    fp13 = (t16 * jnp.uint32(0x85EBCA77)) >> 19            # 13-bit tier 16
-    sAB = (t64 & jnp.uint32(0xFFFF0000)) | (t256 >> 16)    # 16+16 payload
 
     # Run-interior positions (word repeats within 4 bytes) are POISON
     # sources for anything but in-run anchors: their extensions die at the
@@ -188,13 +210,6 @@ def _cand_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     interior = jnp.zeros(N, bool)
     for p in (1, 2, 3, 4):
         interior = interior.at[p:].set(interior[p:] | (w[p:] == w[:-p]))
-
-    idx2 = (jnp.where(invalid, jnp.uint32(1) << 31, jnp.uint32(0))
-            | jnp.where(interior, jnp.uint32(1) << 30, jnp.uint32(0))
-            | (idx.astype(jnp.uint32) << 13) | fp13)
-
-    sw, si2, ssAB = jax.lax.sort((w, idx2, sAB), num_keys=2)
-    si = ((si2 >> 13) & jnp.uint32(0x1FFFF)).astype(jnp.int32)
 
     def shifted(a, k, fill=0):
         return jnp.concatenate(
@@ -209,28 +224,81 @@ def _cand_row(work: jax.Array, src_len: jax.Array, hist_len: int,
     PREDS = (1, 2, 3, 4, 6, 8)
     best_key = jnp.full(N, -1, jnp.int32)
     best_cand = jnp.full(N, -1, jnp.int32)
-    for k in PREDS:
-        # Shift fill has the bad bit set: slots before the first k entries
-        # can never take a padding candidate.
-        pi2 = shifted(si2, k, fill=0xFFFFFFFF)
-        pw = shifted(sw, k)
-        pi = ((pi2 >> 13) & jnp.uint32(0x1FFFF)).astype(jnp.int32)
-        pgood = pi2 < (jnp.uint32(1) << 31)
-        dist = si - pi
-        ok = pgood & (pw == sw) & (dist > 0) & (dist < WINDOW_SIZE)
-        # approximate LCE: longest run of equal fingerprint tiers
-        m16 = (pi2 & jnp.uint32(0x1FFF)) == (si2 & jnp.uint32(0x1FFF))
-        psAB = shifted(ssAB, k)
-        m64 = m16 & ((psAB >> 16) == (ssAB >> 16))
-        m256 = m64 & ((psAB & jnp.uint32(0xFFFF))
-                      == (ssAB & jnp.uint32(0xFFFF)))
-        sc = (4 + jnp.where(m16, 16, 0) + jnp.where(m64, 64, 0)
-              + jnp.where(m256, 256, 0))
-        key = jnp.where(ok, sc * 16 + (15 - k), -1)
-        better = key > best_key
-        best_key = jnp.where(better, key, best_key)
-        best_cand = jnp.where(better, pi, best_cand)
-    cand = jnp.zeros(N, jnp.int32).at[si].set(best_cand)
+
+    if hashed:
+        ibits = (N - 1).bit_length()
+        hbits = 30 - ibits
+        mask = jnp.uint32((1 << ibits) - 1)
+        wc8 = (w * jnp.uint32(0x85EBCA77)) >> 24           # word check
+        fp16 = (t16 * jnp.uint32(0x9E3779B1)) >> 23        # 9-bit tier 16
+        fp64 = (t64 * jnp.uint32(0x85EBCA77)) >> 24        # 8-bit tier 64
+        fp256 = (t256 * jnp.uint32(0xC2B2AE3D)) >> 25      # 7-bit tier 256
+        pay = (wc8 << 24) | (fp16 << 15) | (fp64 << 7) | fp256
+        h = (w * jnp.uint32(0x9E3779B1)) >> (32 - hbits)
+        key = ((h << (ibits + 2))
+               | jnp.where(invalid,
+                           jnp.uint32(1) << (ibits + 1), jnp.uint32(0))
+               | jnp.where(interior, jnp.uint32(1) << ibits, jnp.uint32(0))
+               | idx.astype(jnp.uint32))
+
+        skey, spay = jax.lax.sort((key, pay), num_keys=1)
+        si = (skey & mask).astype(jnp.int32)
+        for k in PREDS:
+            pkey = shifted(skey, k, fill=0xFFFFFFFF)
+            ppay = shifted(spay, k)
+            pi = (pkey & mask).astype(jnp.int32)
+            pgood = ((pkey >> (ibits + 1)) & 1) == 0
+            bucket = (pkey >> (ibits + 2)) == (skey >> (ibits + 2))
+            wc_eq = (ppay >> 24) == (spay >> 24)
+            dist = si - pi
+            ok = pgood & bucket & wc_eq & (dist > 0) & (dist < WINDOW_SIZE)
+            # approximate LCE: longest run of equal fingerprint tiers
+            m16 = ok & (((ppay >> 15) & 0x1FF) == ((spay >> 15) & 0x1FF))
+            m64 = m16 & (((ppay >> 7) & 0xFF) == ((spay >> 7) & 0xFF))
+            m256 = m64 & ((ppay & 0x7F) == (spay & 0x7F))
+            sc = (4 + jnp.where(m16, 16, 0) + jnp.where(m64, 64, 0)
+                  + jnp.where(m256, 256, 0))
+            keysc = jnp.where(ok, sc * 16 + (15 - k), -1)
+            better = keysc > best_key
+            best_key = jnp.where(better, keysc, best_key)
+            best_cand = jnp.where(better, pi, best_cand)
+    else:
+        fp13 = (t16 * jnp.uint32(0x85EBCA77)) >> 19         # 13-bit tier 16
+        sAB = (t64 & jnp.uint32(0xFFFF0000)) | (t256 >> 16)  # 16+16 payload
+        idx2 = (jnp.where(invalid, jnp.uint32(1) << 31, jnp.uint32(0))
+                | jnp.where(interior, jnp.uint32(1) << 30, jnp.uint32(0))
+                | (idx.astype(jnp.uint32) << 13) | fp13)
+
+        sw, si2, ssAB = jax.lax.sort((w, idx2, sAB), num_keys=2)
+        si = ((si2 >> 13) & jnp.uint32(0x1FFFF)).astype(jnp.int32)
+        for k in PREDS:
+            # Shift fill has the bad bit set: slots before the first k
+            # entries can never take a padding candidate.
+            pi2 = shifted(si2, k, fill=0xFFFFFFFF)
+            pw = shifted(sw, k)
+            pi = ((pi2 >> 13) & jnp.uint32(0x1FFFF)).astype(jnp.int32)
+            pgood = pi2 < (jnp.uint32(1) << 31)
+            dist = si - pi
+            ok = pgood & (pw == sw) & (dist > 0) & (dist < WINDOW_SIZE)
+            # approximate LCE: longest run of equal fingerprint tiers
+            m16 = (pi2 & jnp.uint32(0x1FFF)) == (si2 & jnp.uint32(0x1FFF))
+            psAB = shifted(ssAB, k)
+            m64 = m16 & ((psAB >> 16) == (ssAB >> 16))
+            m256 = m64 & ((psAB & jnp.uint32(0xFFFF))
+                          == (ssAB & jnp.uint32(0xFFFF)))
+            sc = (4 + jnp.where(m16, 16, 0) + jnp.where(m64, 64, 0)
+                  + jnp.where(m256, 256, 0))
+            key = jnp.where(ok, sc * 16 + (15 - k), -1)
+            better = key > best_key
+            best_key = jnp.where(better, key, best_key)
+            best_cand = jnp.where(better, pi, best_cand)
+    # Unsort via a second sort, NOT a scatter: si is a permutation of
+    # 0..N-1, so sorting (si, best_cand) restores position order. Measured
+    # (v5e, 64x64K): .at[si].set costs 31.6 ms/batch — the WHOLE rest of
+    # the chain phase combined — while the inverse-perm sort is 12.2 ms
+    # (general scatter runs at scalar rate; sort is the fast permutation
+    # primitive on this chip).
+    cand = jax.lax.sort((si.astype(jnp.uint32), best_cand), num_keys=1)[1]
 
     recv_ok = (idx >= hist_len) & (idx < mf_limit)
     valid = (cand >= 0) & (idx - cand < WINDOW_SIZE) & recv_ok
@@ -238,15 +306,17 @@ def _cand_row(work: jax.Array, src_len: jax.Array, hist_len: int,
 
 
 def _dist_row(work: jax.Array, src_len: jax.Array, hist_len: int,
-              hist_start: jax.Array) -> jax.Array:
+              hist_start: jax.Array, hashed: bool = False) -> jax.Array:
     """u16 per-position match distance for one block row (0 = no match).
 
     Same candidate search as ``_chain_row`` but WITHOUT the next-match
     packing: the host serializer (lz4t_chain_serialize16) finds the next
     matchable position by scanning for the next nonzero distance — an
     SIMD-friendly memchr-class pass — so the device skips the reverse
-    cummin AND the fetch ships 2 bytes/position instead of 4."""
-    valid, dist = _cand_row(work, src_len, hist_len, hist_start)
+    cummin AND the fetch ships 2 bytes/position instead of 4. With
+    ``hashed`` the sort runs the dieted single-key layout and entries are
+    CLAIMS the serializer verifies (see ``_cand_row``)."""
+    valid, dist = _cand_row(work, src_len, hist_len, hist_start, hashed)
     return jnp.where(valid[hist_len:], dist[hist_len:], 0).astype(jnp.uint16)
 
 
@@ -260,20 +330,25 @@ def build_chains(work: jax.Array, lens: jax.Array, hist_len: int,
         work, lens, hist_len, hs)
 
 
-@functools.partial(jax.jit, static_argnames=("hist_len",))
+@functools.partial(jax.jit, static_argnames=("hist_len", "hashed"))
 def build_dist_chains(work: jax.Array, lens: jax.Array, hist_len: int,
-                      hist_start: jax.Array) -> jax.Array:
+                      hist_start: jax.Array,
+                      hashed: bool = True) -> jax.Array:
     """Vmapped u16 dist-only chains: i32[nb, N] work -> u16[nb, cap].
 
     The chain-direct (split) encode's wire format: half the device->host
     bytes of ``build_chains``' packed i32 and no reverse-cummin pass; the
     host serializer scans for the next nonzero distance instead of jumping
-    (lz4t_chain_serialize16). Same candidates, same selected matches —
-    wire bytes stay identical to the packed form's."""
+    (lz4t_chain_serialize16). Default ``hashed=True`` runs the round-4
+    sort diet (2 sorted operands, hashed buckets — see ``_cand_row``);
+    entries are claims the serializer's 4-byte verify filters.
+    ``hashed=False`` gives exact-word chains whose wire bytes are
+    identical to the packed form's / the hybrid walk's."""
     hs = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32),
                           (work.shape[0],))
-    return jax.vmap(_dist_row, in_axes=(0, 0, None, 0))(
-        work, lens, hist_len, hs)
+    return jax.vmap(
+        functools.partial(_dist_row, hashed=hashed),
+        in_axes=(0, 0, None, 0))(work, lens, hist_len, hs)
 
 
 # --------------------------------------------------------------------------

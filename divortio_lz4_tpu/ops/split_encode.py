@@ -57,7 +57,7 @@ def _round_up(x: int, m: int) -> int:
 
 def encode_blocks_chain(work: np.ndarray, lens: np.ndarray, block_size: int,
                         hist_len: int = 0, hist_start=0,
-                        interpret: bool = False):
+                        interpret: bool = False, exact: bool = False):
     """Build candidate chains for a batch of blocks on device.
 
     Args:
@@ -65,6 +65,10 @@ def encode_blocks_chain(work: np.ndarray, lens: np.ndarray, block_size: int,
       lens: i32[nb] payload sizes.
       block_size: static payload capacity (% 1024 == 0, <= hybrid_max_bs()).
       hist_len: static history width (0 or WINDOW_SIZE).
+      exact: use exact-word sort buckets (wire byte-identical to the
+        hybrid Pallas walk) instead of the default hashed sort diet
+        (~1/3 fewer sorted bytes; collisions filtered by the serializer's
+        4-byte verify — see hybrid_encode._cand_row).
 
     Returns chains as a DEVICE array u16[nb, block_size] (match distance
     per payload position, 0 = none) — fetch once and feed rows to
@@ -77,7 +81,8 @@ def encode_blocks_chain(work: np.ndarray, lens: np.ndarray, block_size: int,
     assert block_size <= hybrid_max_bs()
     hs = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32), (nb,))
     return build_dist_chains(jnp.asarray(work).astype(jnp.int32),
-                             jnp.asarray(lens), hist_len, hs)
+                             jnp.asarray(lens), hist_len, hs,
+                             hashed=not exact)
 
 
 def chain_select_serialize(work: np.ndarray, hist_len: int, src_len: int,
@@ -117,7 +122,8 @@ def chain_select_serialize(work: np.ndarray, hist_len: int, src_len: int,
 def _chain_serialize16_py(work: np.ndarray, hist_len: int, src_len: int,
                           dist16: np.ndarray) -> np.ndarray:
     """Pure-Python fallback for lz4t_chain_serialize16 (scan-based next
-    match; wire identical to the packed-chain path)."""
+    match with 4-byte collision verify; wire identical to the packed-chain
+    path on exact chains)."""
     mf_limit = src_len - MF_LIMIT
     match_limit = src_len - LAST_LITERALS
     pay = work[hist_len:]
@@ -134,6 +140,13 @@ def _chain_serialize16_py(work: np.ndarray, hist_len: int, src_len: int,
                 break
             m = int(nz[zi])
             dist = int(dist16[m])
+            # hashed-chain collision guard: reject candidates whose first
+            # MIN_MATCH bytes differ (never fires on exact chains)
+            ha = hist_len + m
+            if (work[ha: ha + MIN_MATCH].tobytes()
+                    != work[ha - dist: ha - dist + MIN_MATCH].tobytes()):
+                m += 1
+                continue
             lim = match_limit - m
             a = pay[m: m + lim]
             b = work[hist_len + m - dist: hist_len + m - dist + lim]
@@ -228,8 +241,11 @@ def _chain_serialize_py(work: np.ndarray, hist_len: int, src_len: int,
 
 
 def encode_block_split_host(data: np.ndarray, block_size: int | None = None,
-                            interpret: bool | None = None) -> np.ndarray:
-    """Host convenience wrapper (one block in, wire bytes out), for tests."""
+                            interpret: bool | None = None,
+                            exact: bool = False) -> np.ndarray:
+    """Host convenience wrapper (one block in, wire bytes out), for tests.
+    ``exact=True`` uses exact-word chains (wire byte-identical to the
+    hybrid walk); the default is the production hashed sort diet."""
     del interpret
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
@@ -240,7 +256,7 @@ def encode_block_split_host(data: np.ndarray, block_size: int | None = None,
     work = np.zeros((1, block_size), np.int32)
     work[0, :n] = data
     chains = np.asarray(encode_blocks_chain(
-        work, np.array([n], np.int32), block_size))
+        work, np.array([n], np.int32), block_size, exact=exact))
     padded = np.zeros(block_size + 8, np.uint8)
     padded[:n] = data
     return chain_select_serialize(padded, 0, n, chains[0])

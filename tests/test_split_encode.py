@@ -38,14 +38,37 @@ CASES = {
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_chain_encode_matches_hybrid_wire(name):
     data = CASES[name]
-    c = encode_block_split_host(data)
+    c = encode_block_split_host(data, exact=True)
     h = encode_block_hybrid_host(data)
     _roundtrip(data, c)
     if len(data):
-        # same chains + same greedy + same exact extension => same bytes
+        # exact chains: same candidates + same greedy + same exact
+        # extension => same bytes as the hybrid Pallas walk
         np.testing.assert_array_equal(np.asarray(c), np.asarray(h))
     ref = np.asarray(lz4.compress_raw(data))
     assert len(c) <= max(len(ref), 1)
+    # production hashed sort diet: collisions are verified away on host;
+    # the stream stays valid and within the reference's size
+    ch = encode_block_split_host(data)
+    _roundtrip(data, ch)
+    assert len(ch) <= max(len(ref), 1)
+
+
+@pytest.mark.parametrize("name", ["period53", "period4", "period8",
+                                  "period64", "runs", "aligned_pages",
+                                  "runs_spacers", "period53_mut"])
+def test_chain_encode_hashed_adversarial_ratio_gate(name, rng):
+    """The hashed sort diet shares the reference table's collision
+    exposure — fence it with the same adversarial corpora as the hybrid
+    gate (plus the decode-correctness roundtrip)."""
+    from tests.test_hybrid_encode import _adversarial_cases
+
+    data = _adversarial_cases(rng)[name]
+    comp = encode_block_split_host(data)
+    _roundtrip(data, comp)
+    ref = np.asarray(lz4.compress_raw(data))
+    assert len(comp) <= len(ref), \
+        f"{name}: hashed chain {len(comp)} > reference {len(ref)}"
 
 
 def test_chain_encode_random_incompressible(rng):
@@ -117,7 +140,7 @@ def test_chain_serializers_agree(compressible):
     data = np.asarray(compressible(8192))
     work = data.astype(np.int32).reshape(1, -1)
     lens = np.array([8192], np.int32)
-    chains = np.asarray(encode_blocks_chain(work, lens, 8192))
+    chains = np.asarray(encode_blocks_chain(work, lens, 8192, exact=True))
     assert chains.dtype == np.uint16
     wk = np.zeros(8192 + 8, np.uint8)
     wk[:8192] = data
@@ -128,6 +151,33 @@ def test_chain_serializers_agree(compressible):
                                      0, 0))
     c = _chain_serialize_py(wk, 0, 8192, packed[0])
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # hashed chains: native and Python serializers must also agree on the
+    # VERIFIED (collision-filtered) stream
+    hashed = np.asarray(encode_blocks_chain(work, lens, 8192))
+    ah = chain_select_serialize(wk, 0, 8192, hashed[0])
+    bh = _chain_serialize16_py(wk, 0, 8192, hashed[0])
+    np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
+    _roundtrip(data, ah)
+
+
+def test_chain_serializer_rejects_false_candidates():
+    """A hashed chain may CLAIM a match whose bytes differ (hash collision)
+    — the serializer must verify 4 bytes and skip it, producing a valid
+    stream, for both the native and the Python serializer."""
+    data = np.frombuffer(b"abcdefgh" * 8 + b"ABCDWXYZ" * 8, np.uint8)
+    n = len(data)
+    wk = np.zeros(n + 8, np.uint8)
+    wk[:n] = data
+    dist16 = np.zeros(n, np.uint16)
+    dist16[64] = 64   # claims data[64:68]==data[0:4]: FALSE ('ABCD' vs 'abcd')
+    dist16[72] = 8    # true: 'ABCDWXYZ' repeats with period 8
+    a = chain_select_serialize(wk, 0, n, dist16)
+    b = _chain_serialize16_py(wk, 0, n, dist16)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _roundtrip(data, a)
+    # the false candidate must not have been emitted as a match
+    out = np.empty(n, np.uint8)
+    assert lz4.decompress_raw(np.asarray(a), out) == n
 
 
 def test_chain_encode_long_match_single_sequence(rng):
@@ -135,10 +185,13 @@ def test_chain_encode_long_match_single_sequence(rng):
     to the limit, not a compare-window cap)."""
     pat = rng.integers(0, 256, 64, dtype=np.uint8)
     data = np.concatenate([pat, np.tile(pat, 20)])
-    c = encode_block_split_host(data)
+    c = encode_block_split_host(data, exact=True)
     _roundtrip(data, c)
     np.testing.assert_array_equal(
         np.asarray(c), np.asarray(encode_block_hybrid_host(data)))
+    ch = encode_block_split_host(data)
+    _roundtrip(data, ch)
+    assert len(ch) <= len(c) + 8  # hashed diet: same single-sequence shape
 
 
 def test_chain_encode_frame_paths(compressible):
@@ -254,14 +307,15 @@ def test_streaming_linked_device_offload(compressible, rng):
 
 def test_chain_encode_linked_frame(compressible):
     """engine='split' covers LINKED frames natively (per-block known-
-    plaintext history rows) — byte-identical to the hybrid linked path."""
+    plaintext history rows); the hashed diet keeps the stream within the
+    hybrid walk's size envelope on this corpus."""
     from divortio_lz4_tpu.parallel.device import device_compress_frame
 
     corpus = np.asarray(compressible(150000))
     cfg = lz4.FrameConfig(block_size=65536, block_independence=False)
     f = device_compress_frame(corpus, cfg, engine="split")
     h = device_compress_frame(corpus, cfg, engine="hybrid")
-    np.testing.assert_array_equal(np.asarray(f), np.asarray(h))
+    assert len(f) <= len(h) + 64
     out = lz4.decompress(np.asarray(f))
     np.testing.assert_array_equal(np.asarray(out), corpus)
     assert len(f) <= len(lz4.compress(corpus, config=cfg))
