@@ -134,7 +134,10 @@ def encode_block(work: jax.Array, src_len: jax.Array, hist_len: int = 0,
          (sw[1:] == sw[:-1]) & (sbad[1:] == 0) & (sbad[:-1] == 0)])
     prev_in_sort = jnp.concatenate([jnp.zeros(1, jnp.int32), si[:-1]])
     cand_sorted = jnp.where(same_as_prev, prev_in_sort, -1)
-    cand = jnp.zeros(N, jnp.int32).at[si].set(cand_sorted)
+    # Unsort via a second sort (si is a permutation): measured ~2.6x
+    # cheaper than a .at[si].set permutation scatter on v5e — see
+    # hybrid_encode._cand_row.
+    cand = jax.lax.sort((si.astype(_U32), cand_sorted), num_keys=1)[1]
 
     dist = idx - cand
     has_cand = (cand >= 0) & (dist < WINDOW_SIZE) & (idx >= hist_len) \
