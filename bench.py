@@ -257,8 +257,8 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
 
     import divortio_lz4_tpu as lz4
     from divortio_lz4_tpu.ops.pallas_split_decode import (
-        SLACK, _round_up, build_sorted_batch, decode_blocks_wire,
-        parse_wire_batch, plan_ways_wire)
+        SLACK, _round_up, decode_blocks_wire, grouped_trips,
+        parse_wire_batch, partition_by_plan)
 
     n = len(corpus)
     nfull = n // block_size
@@ -282,46 +282,62 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         [(c, False) for c in comps], block_size)
     t_parse = time.perf_counter() - t0
 
+    # Production dispatch structure: one call per density tier
+    # (partition_by_plan) at the tier's own interleave width, adaptive
+    # paired-record bodies inside the kernel (decode_blocks_wire default).
     rw = 2 if recs.dtype == np.uint16 else 3
-    ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1],
-                          _round_up(block_size + SLACK, 1024), 0)
-    order_p, trips = build_sorted_batch(counts, ways)
-    d_wire = jax.device_put(jnp.asarray(wire[order_p]))
-    d_recs = jax.device_put(jnp.asarray(recs[order_p]))
-    d_trips = jax.device_put(jnp.asarray(trips))
+    order = np.argsort(counts, kind="stable")
+    parts = partition_by_plan(counts, order, rw, wire.shape[1],
+                              _round_up(block_size + SLACK, 1024), 0)
+    staged = []
+    shipped = 0
+    wire_w = np.array([len(c) for c in comps])
+    for sel, cap, ways in parts:
+        padn = (-len(sel)) % ways
+        sel_p = np.concatenate([sel, np.repeat(sel[-1], padn)]) \
+            if padn else sel
+        trips = grouped_trips(counts[sel_p], ways)
+        recs_p = np.ascontiguousarray(recs[sel_p, :cap])
+        wcap = _round_up(int(wire_w[sel].max()) + SLACK, 1024)
+        wire_p = np.ascontiguousarray(wire[sel_p, :wcap])
+        shipped += wire_p.nbytes + recs_p.nbytes + trips.nbytes
+        staged.append((jax.device_put(jnp.asarray(wire_p)),
+                       jax.device_put(jnp.asarray(recs_p)),
+                       jax.device_put(jnp.asarray(trips)), sel_p))
     nb = len(comps)
-    shipped = wire.shape[1] * len(order_p) + recs[order_p].nbytes \
-        + trips.nbytes
     wire_ratio = shipped / (nb * block_size)
 
     def dec(reps=1):
-        outs = [decode_blocks_wire(d_wire, d_recs, d_trips, block_size,
-                                   False, None, False)
-                for _ in range(reps)]
-        return outs[-1]
+        for _ in range(reps):
+            outs = [decode_blocks_wire(w_, r_, t_, block_size,
+                                       False, None, False)
+                    for w_, r_, t_, _ in staged]
+        return outs
 
-    out = dec()
-    _ = int(jnp.sum(out[0, :16].astype(jnp.int32)))  # hard sync
+    outs = dec()
+    _ = [int(jnp.sum(o[0, :16].astype(jnp.int32))) for o in outs]  # sync
     # verify bit-exact (every block)
-    out_np = np.asarray(out)
-    for k in range(len(order_p)):
-        b = order_p[k]
-        assert np.array_equal(
-            out_np[k][: int(out_lens[b])],
-            corpus[plains[b] * block_size:
-                   plains[b] * block_size + int(out_lens[b])]), k
+    for o, (_, _, _, sel_p) in zip(outs, staged):
+        out_np = np.asarray(o)
+        for k, b in enumerate(sel_p):
+            assert np.array_equal(
+                out_np[k][: int(out_lens[b])],
+                corpus[plains[b] * block_size:
+                       plains[b] * block_size + int(out_lens[b])]), k
+
+    def sync(outs):
+        for o in outs:
+            _ = int(jnp.sum(o[0, :16].astype(jnp.int32)))
 
     R = 6
     ts1, tsR, tsP = [], [], []
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = dec()
-        _ = int(jnp.sum(out[0, :16].astype(jnp.int32)))
+        sync(dec())
         ts1.append(time.perf_counter() - t0)
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = dec(R)
-        _ = int(jnp.sum(out[0, :16].astype(jnp.int32)))
+        sync(dec(R))
         tsR.append(time.perf_counter() - t0)
     t1 = float(np.median(ts1))
     tR = float(np.median(tsR))
@@ -332,10 +348,10 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     # ~ max(kernel, parse).
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = dec(R)
+        outs = dec(R)
         for _ in range(R):
             parse_wire_batch([(c, False) for c in comps], block_size)
-        _ = int(jnp.sum(out[0, :16].astype(jnp.int32)))
+        sync(outs)
         tsP.append((time.perf_counter() - t0) / R)
     pipe = max(float(np.median(tsP)) - (t1 - kern) / R, 1e-9)
     return nb * block_size, t1, kern, t_parse, pipe, wire_ratio

@@ -563,7 +563,8 @@ def _expand_wire_records(recs: jax.Array, out_cap: int):
 
 
 def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
-                      io_nr: int, hist_nr: int, out_base: int, out_cap: int):
+                      io_nr: int, hist_nr: int, out_base: int, out_cap: int,
+                      pair: int = 1):
     """Interleaved wire-direct record kernel (see the v2 section header).
 
     Refs: trips (SMEM prefetch), recs (SMEM; fmt "n2" = 2 words/record,
@@ -571,7 +572,15 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
     read-only ref), [hist (VMEM, per-way history rows — only when
     out_base > 0)], ways x io outputs. dst lives IN the records (cumsum
     on device): a running-dst carry measured slower — see
-    _expand_wire_records."""
+    _expand_wire_records.
+
+    ``pair``: records per way per loop iteration. The fori back-edge is a
+    pipeline drain (interleaved vector work cannot overlap across
+    iterations), so a larger straight-line body amortizes it; record
+    k+1 of a way RAW-depends on record k through the way's io ref, but
+    the other ways' records sit between them in program order. Pad
+    records (zero llml, cumsum-dst = out_len) write nothing, so an odd
+    way simply runs one no-op."""
     bs_limit = out_base + out_cap
 
     def kernel(trips_ref, recs_ref, wire_ref, *rest):
@@ -640,30 +649,36 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
 
         rw = 2 if fmt == "n2" else 3
 
+        def one(r, ri):
+            base_row = r * cap * rw // LANES
+            w0 = recs_ref[base_row + (rw * ri) // LANES,
+                          (rw * ri) % LANES]
+            w1 = recs_ref[base_row + (rw * ri + 1) // LANES,
+                          (rw * ri + 1) % LANES]
+            if fmt == "n2":
+                src = w0 & 0xFFFF
+                ll = (w0 >> 16) & 0xFF
+                ml = (w0 >> 24) & 0xFF
+                dstr = w1 & 0xFFFF
+                off = (w1 >> 16) & 0xFFFF
+            else:
+                w2 = recs_ref[base_row + (3 * ri + 2) // LANES,
+                              (3 * ri + 2) % LANES]
+                src = w0
+                off = w1 & 0xFFFF
+                ll = (w1 >> 16) & 0xFF
+                ml = (w1 >> 24) & 0xFF
+                dstr = w2
+            dst = jnp.minimum(dstr, out_cap) + out_base
+            do_record(io_refs[r], r * wire_nr * LANES, src, off, ll,
+                      ml, dst)
+
         def body(i, _):
-            for r in range(ways):
-                base_row = r * cap * rw // LANES
-                w0 = recs_ref[base_row + (rw * i) // LANES,
-                              (rw * i) % LANES]
-                w1 = recs_ref[base_row + (rw * i + 1) // LANES,
-                              (rw * i + 1) % LANES]
-                if fmt == "n2":
-                    src = w0 & 0xFFFF
-                    ll = (w0 >> 16) & 0xFF
-                    ml = (w0 >> 24) & 0xFF
-                    dstr = w1 & 0xFFFF
-                    off = (w1 >> 16) & 0xFFFF
-                else:
-                    w2 = recs_ref[base_row + (3 * i + 2) // LANES,
-                                  (3 * i + 2) % LANES]
-                    src = w0
-                    off = w1 & 0xFFFF
-                    ll = (w1 >> 16) & 0xFF
-                    ml = (w1 >> 24) & 0xFF
-                    dstr = w2
-                dst = jnp.minimum(dstr, out_cap) + out_base
-                do_record(io_refs[r], r * wire_nr * LANES, src, off, ll,
-                          ml, dst)
+            # way-major order: a way's dependent pair sits ways-1
+            # independent records apart in program order
+            for p in range(pair):
+                for r in range(ways):
+                    one(r, pair * i + p)
             return 0
 
         jax.lax.fori_loop(0, trips_ref[g], body, 0)
@@ -694,11 +709,12 @@ def _cap_bucket(n: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_size", "use_history", "interpret"))
+                   static_argnames=("block_size", "use_history", "interpret",
+                                    "pair"))
 def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
                        block_size: int, use_history: bool = False,
                        hist: jax.Array | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False, pair: int | None = None):
     """Decode pre-parsed blocks straight from their wire bytes (v2 path).
 
     Args:
@@ -754,14 +770,22 @@ def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
             for _ in range(ways)
         ],
     )
+    # pair>1: the loop covers ceil(trips/pair) iterations of pair records
+    # per way; the overhang reads zero-pad records (no-op writes — cap is
+    # always >= max count + 1, _cap_bucket). Default: 16 record bodies
+    # per iteration total — measured optimum at the bench shape (456 MB/s
+    # vs 323 at pair=1, 349 at 32 bodies: the fori back-edge is a
+    # pipeline drain, but 32 inlined bodies hit register pressure).
+    if pair is None:
+        pair = max(1, 16 // ways)
     outs = pl.pallas_call(
         _make_wire_kernel(ways, cap, fmt, wire_nr, io_nr, hist_nr, out_base,
-                          block_size),
+                          block_size, pair),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nsteps * io_nr, LANES), jnp.int32)
                    for _ in range(ways)],
         interpret=interpret,
-    )(trips, words, *args)
+    )((trips + (pair - 1)) // pair, words, *args)
 
     out = jnp.stack([o.reshape(nsteps, io_nr * LANES) for o in outs],
                     axis=1).reshape(nb, io_nr * LANES)
@@ -787,6 +811,10 @@ def parse_wire_batch(entries, block_size: int, window=None):
     wire = np.zeros((nb, wire_cap), np.uint8)
     counts = np.zeros(nb, np.int32)
     out_lens = np.zeros(nb, np.int64)
+
+    # Sequential parse, measured FASTER than a thread pool on this
+    # 2-vCPU host (5.9 vs 9.0 ms per 4 MB — pool dispatch overhead and
+    # the numpy row-copy under the GIL dominate the freed native time).
     recs_l = []
     for i, (c, stored) in enumerate(entries):
         wire[i, : len(c)] = c
@@ -819,28 +847,68 @@ def parse_wire_batch(entries, block_size: int, window=None):
     return wire, recs, counts, out_lens, hist
 
 
+def partition_by_plan(counts: np.ndarray, order: np.ndarray, rw: int,
+                      wire_cap: int, io_bytes: int, hist_bytes: int):
+    """Split count-sorted blocks into maximal runs sharing an interleave
+    plan. The SMEM record window is ways*cap words, so ONE dense block
+    (cap 16384) caps the whole batch at ways=2 even when the majority
+    would fit ways=8 at cap<=7168; bucketed dispatches let each density
+    tier run at its own width (dispatches queue back to back — amortized
+    cost is per record, not per call). Returns [(sel, cap, ways)] with
+    sel slices of `order`."""
+    parts = []
+    i, n = 0, len(order)
+    while i < n:
+        cap = _cap_bucket(int(counts[order[i]]) + 1)
+        ways = plan_ways_wire(cap, rw, wire_cap, io_bytes, hist_bytes)
+        j = i
+        while j < n:
+            c2 = _cap_bucket(int(counts[order[j]]) + 1)
+            if c2 > cap:
+                if plan_ways_wire(c2, rw, wire_cap, io_bytes,
+                                  hist_bytes) != ways:
+                    break
+                cap = c2
+            j += 1
+        parts.append((order[i:j], cap, ways))
+        i = j
+    return parts
+
+
 def decode_wire_blocks2(comps, block_size: int,
                         interpret: bool | None = None):
-    """Decode a list of independent blocks' wire bytes in ONE batched
-    wire-direct dispatch (sorted interleave groups). Returns np.uint8
-    outputs in input order. The streaming decoder's device burst path."""
+    """Decode a list of independent blocks' wire bytes in batched
+    wire-direct dispatches (sorted interleave groups, one dispatch per
+    density tier — partition_by_plan). Returns np.uint8 outputs in input
+    order. The streaming decoder's device burst path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     wire, recs, counts, out_lens, _ = parse_wire_batch(
         [(c, False) for c in comps], block_size)
     rw = 2 if recs.dtype == np.uint16 else 3
-    ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1],
-                          _round_up(block_size + SLACK, 1024), 0)
-    order_p, trips = build_sorted_batch(counts, ways)
-    out = decode_blocks_wire(jnp.asarray(wire[order_p]),
-                             jnp.asarray(recs[order_p]),
-                             jnp.asarray(trips), block_size, False, None,
-                             interpret)
-    out_np = np.asarray(out)
+    io_bytes = _round_up(block_size + SLACK, 1024)
+    order = np.argsort(counts, kind="stable")
+    wire_w = np.array([len(c) for c in comps])
+    pend = []
+    for sel, cap, ways in partition_by_plan(counts, order, rw,
+                                            wire.shape[1], io_bytes, 0):
+        pad = (-len(sel)) % ways
+        sel_p = np.concatenate([sel, np.repeat(sel[-1], pad)]) \
+            if pad else sel
+        trips = grouped_trips(counts[sel_p], ways)
+        # per-part wire width: the link ships only this tier's max image
+        wcap = _round_up(int(wire_w[sel].max()) + SLACK, 1024)
+        out = decode_blocks_wire(
+            jnp.asarray(np.ascontiguousarray(wire[sel_p, :wcap])),
+            jnp.asarray(np.ascontiguousarray(recs[sel_p, :cap])),
+            jnp.asarray(trips), block_size, False, None, interpret)
+        pend.append((sel_p, out))
     res = [None] * len(comps)
-    for k, b in enumerate(order_p):
-        if res[b] is None:
-            res[b] = out_np[k][: int(out_lens[b])]
+    for sel_p, out in pend:
+        out_np = np.asarray(out)
+        for k, b in enumerate(sel_p):
+            if res[b] is None:
+                res[b] = out_np[k][: int(out_lens[b])]
     return res
 
 

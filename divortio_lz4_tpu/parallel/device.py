@@ -974,36 +974,51 @@ def _decode_independent_split(buf, blocks, bs, window=None,
 
     CH = _FRAME_CHUNK_ROWS_DEC
     pend = []
-    for i in range(0, nb, CH):
-        rows = min(CH, nb - i)
-        target = CH if nb > CH else max(_chunk_rows_bucket(rows), ways)
-        sel = order[i: i + rows]
-        wire_c = wire[sel]
-        recs_c = recs[sel]
-        cnt_c = counts[sel]
-        if rows < target:
-            pad = target - rows
-            wire_c = np.concatenate(
-                [wire_c, np.zeros((pad,) + wire.shape[1:], np.uint8)])
-            recs_c = np.concatenate(
-                [recs_c, np.zeros((pad,) + recs.shape[1:], recs.dtype)])
-            cnt_c = np.concatenate([cnt_c, np.zeros(pad, np.int32)])
-        # Trips must follow THIS chunk's actual row layout (sorted rows +
-        # zero-count pads at the end) — build_sorted_batch would re-sort
-        # and misassign group bounds when a chunk spans several groups.
-        trips = grouped_trips(cnt_c, ways)
-        hist_c = None
-        if use_history:
-            hist_c = hist[sel]
+    from ..ops.pallas_split_decode import partition_by_plan
+    # Partition the sorted order into density tiers FIRST (each tier gets
+    # its own record cap + interleave width — one dense straggler no
+    # longer caps the whole batch at ways=2), then chunk each tier to the
+    # canonical row shapes.
+    sizes = np.array([size for _, size, _ in blocks], np.int64) \
+        if nb else np.zeros(0, np.int64)
+    for sel_t, cap_c, ways_c in partition_by_plan(
+            counts, order, rw, wire.shape[1], io_bytes,
+            SP_W if use_history else 0):
+        # per-tier wire width: ship only this tier's max image
+        wcap = _ru(int(sizes[sel_t].max(initial=0)) + SP_SLACK, 1024)
+        for i in range(0, len(sel_t), CH):
+            rows = min(CH, len(sel_t) - i)
+            sel = sel_t[i: i + rows]
+            cnt_c = counts[sel]
+            target = CH if len(sel_t) > CH \
+                else max(_chunk_rows_bucket(rows), ways_c)
+            wire_c = np.ascontiguousarray(wire[sel, :wcap])
+            recs_c = np.ascontiguousarray(recs[sel, :cap_c])
             if rows < target:
-                hist_c = np.concatenate(
-                    [hist_c,
-                     np.zeros((target - rows, SP_W), np.uint8)])
-            hist_c = jnp.asarray(hist_c)
-        out = decode_blocks_wire(
-            jnp.asarray(wire_c), jnp.asarray(recs_c), jnp.asarray(trips),
-            bs, use_history, hist_c, interpret)
-        pend.append((sel, out))
+                pad = target - rows
+                wire_c = np.concatenate(
+                    [wire_c, np.zeros((pad,) + wire_c.shape[1:], np.uint8)])
+                recs_c = np.concatenate(
+                    [recs_c,
+                     np.zeros((pad,) + recs_c.shape[1:], recs.dtype)])
+                cnt_c = np.concatenate([cnt_c, np.zeros(pad, np.int32)])
+            # Trips must follow THIS chunk's actual row layout (sorted
+            # rows + zero-count pads at the end) — build_sorted_batch
+            # would re-sort and misassign group bounds when a chunk spans
+            # several groups.
+            trips = grouped_trips(cnt_c, ways_c)
+            hist_c = None
+            if use_history:
+                hist_c = hist[sel]
+                if rows < target:
+                    hist_c = np.concatenate(
+                        [hist_c,
+                         np.zeros((target - rows, SP_W), np.uint8)])
+                hist_c = jnp.asarray(hist_c)
+            out = decode_blocks_wire(
+                jnp.asarray(wire_c), jnp.asarray(recs_c),
+                jnp.asarray(trips), bs, use_history, hist_c, interpret)
+            pend.append((sel, out))
     if defer:
         return (nb, pend, out_lens)
     return _split_decode_fetch((nb, pend, out_lens))

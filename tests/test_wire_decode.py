@@ -113,6 +113,34 @@ def test_wire_kernel_bit_exact(name, rng, compressible):
     np.testing.assert_array_equal(out, data)
 
 
+@pytest.mark.parametrize("pair", [2, 4])
+def test_wire_kernel_paired_records_bit_exact(pair, rng, compressible):
+    """pair>1 runs `pair` records per way per loop iteration; the odd-count
+    overhang reads zero-pad records which must write nothing."""
+    import jax.numpy as jnp
+
+    cases = _cases(rng, compressible)
+    blocks = [v for v in cases.values()
+              if len(np.asarray(lz4.compress_raw(v))) < len(v)]
+    bs = max(len(b) for b in blocks)
+    comps = [np.asarray(lz4.compress_raw(b)) for b in blocks]
+    wire, recs, counts, out_lens, _ = parse_wire_batch(
+        [(c, False) for c in comps], bs)
+    rw = 2 if recs.dtype == np.uint16 else 3
+    io_bytes = ((bs + 256 + 1023) // 1024) * 1024
+    ways = plan_ways_wire(recs.shape[1], rw, wire.shape[1], io_bytes, 0)
+    order_p, trips = build_sorted_batch(counts, ways)
+    out = np.asarray(decode_blocks_wire(
+        jnp.asarray(wire[order_p]), jnp.asarray(recs[order_p]),
+        jnp.asarray(trips), bs, False, None, True, pair))
+    pos = {}
+    for k, b in enumerate(order_p):
+        pos.setdefault(int(b), k)
+    for i, b in enumerate(blocks):
+        np.testing.assert_array_equal(
+            out[pos[i]][: int(out_lens[i])], b)
+
+
 def test_wire_kernel_batched_sorted_groups(rng, compressible):
     cases = _cases(rng, compressible)
     blocks = [v for v in cases.values()
