@@ -116,6 +116,11 @@ _lib.lz4t_chain_serialize16.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ctypes.c_void_p]
 
+_lib.lz4t_chain_serialize16m.restype = ctypes.c_int64
+_lib.lz4t_chain_serialize16m.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+
 _ERRORS = {
     -1: "LZ4: Output Buffer Too Small",
     -2: "LZ4: Malformed Input",
@@ -336,6 +341,24 @@ def chain_serialize16_native(work: np.ndarray, hist_len: int, src_len: int,
     assert len(dist16) >= src_len
     return int(_lib.lz4t_chain_serialize16(
         _ptr(work), hist_len, src_len, _ptr(dist16), _ptr(out)))
+
+
+def chain_serialize16_meta_native(work: np.ndarray, hist_len: int,
+                                  src_len: int, dist16: np.ndarray,
+                                  out: np.ndarray):
+    """chain_serialize16_native + the big-block splicer's meta lanes
+    (trailing-token pos, trailing lit count, last-match stream offset or
+    -1, last-match output anchor or -1 — see lz4t_chain_serialize16m).
+    Returns (bytes_written, meta i64[4])."""
+    assert work.dtype == np.uint8 and work.flags.c_contiguous
+    assert dist16.dtype == np.uint16 and dist16.flags.c_contiguous
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    assert len(work) >= hist_len + src_len + 8
+    assert len(dist16) >= src_len
+    meta = (ctypes.c_int64 * 4)()
+    n = int(_lib.lz4t_chain_serialize16m(
+        _ptr(work), hist_len, src_len, _ptr(dist16), _ptr(out), meta))
+    return n, np.array(meta[:], np.int64)
 
 
 # --- Registration ---

@@ -1101,13 +1101,20 @@ int64_t lz4t_chain_serialize(const uint8_t* work, int64_t hist_len,
 // same verification the reference's collision-prone 16K table does at
 // blockCompress.js:64-66. Exact chains never trigger it. Returns bytes
 // written.
-int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
-                               int64_t src_len, const uint16_t* dist16,
-                               uint8_t* out) {
+// Core with optional splice meta (meta[4] = trailing-token position,
+// trailing literal count, last-MATCH-sequence stream offset (-1 if none),
+// its payload-relative output anchor (-1) — the big-block segment
+// splicer's contract, same lanes the hybrid Pallas walk emits at
+// ops/hybrid_encode.py "Meta row").
+static inline int64_t chain_ser16_core(const uint8_t* work,
+                                       int64_t hist_len, int64_t src_len,
+                                       const uint16_t* dist16, uint8_t* out,
+                                       int64_t* meta) {
   const int64_t mf_limit = src_len - MF_LIMIT;
   const int64_t match_limit = src_len - LAST_LITERALS;
   const uint8_t* pay = work + hist_len;
   int64_t o = 0, d = 0;
+  int64_t last_d = -1, last_anchor = -1;
   if (src_len > 0 && mf_limit > 0) {
     int64_t m = 0;
     for (;;) {
@@ -1149,6 +1156,8 @@ int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
       }
       while (len < lim && a[len] == b[len]) len++;
     emit:;
+      last_d = d;
+      last_anchor = o;
       int64_t lit = m - o;
       int64_t mcode = len - MIN_MATCH;
       out[d++] = (uint8_t)((lit < 15 ? lit : 15) << 4
@@ -1172,6 +1181,12 @@ int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
     }
   }
   int64_t lit = src_len - o;
+  if (meta) {
+    meta[0] = d;        // trailing-token position (0 => all-literal)
+    meta[1] = lit;      // trailing literal count
+    meta[2] = last_d;
+    meta[3] = last_anchor;
+  }
   out[d++] = (uint8_t)((lit < 15 ? lit : 15) << 4);
   if (lit >= 15) {
     int64_t rem = lit - 15;
@@ -1180,6 +1195,19 @@ int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
   }
   std::memcpy(out + d, pay + o, (size_t)lit);
   return d + lit;
+}
+
+int64_t lz4t_chain_serialize16(const uint8_t* work, int64_t hist_len,
+                               int64_t src_len, const uint16_t* dist16,
+                               uint8_t* out) {
+  return chain_ser16_core(work, hist_len, src_len, dist16, out, nullptr);
+}
+
+// Meta-emitting form for the big-block segment splicer.
+int64_t lz4t_chain_serialize16m(const uint8_t* work, int64_t hist_len,
+                                int64_t src_len, const uint16_t* dist16,
+                                uint8_t* out, int64_t* meta) {
+  return chain_ser16_core(work, hist_len, src_len, dist16, out, meta);
 }
 
 }  // extern "C"

@@ -293,14 +293,22 @@ def _cand_row(work: jax.Array, src_len: jax.Array, hist_len: int,
             best_key = jnp.where(better, key, best_key)
             best_cand = jnp.where(better, pi, best_cand)
     # Unsort via a second sort, NOT a scatter: si is a permutation of
-    # 0..N-1, so sorting (si, best_cand) restores position order. Measured
-    # (v5e, 64x64K): .at[si].set costs 31.6 ms/batch — the WHOLE rest of
-    # the chain phase combined — while the inverse-perm sort is 12.2 ms
+    # 0..N-1, so sorting on si restores position order. Measured (v5e,
+    # 64x64K): .at[si].set costs 31.6 ms/batch — the WHOLE rest of the
+    # chain phase combined — while the inverse-perm sort is 12.2 ms
     # (general scatter runs at scalar rate; sort is the fast permutation
     # primitive on this chip).
-    cand = jax.lax.sort((si.astype(jnp.uint32), best_cand), num_keys=1)[1]
-
     recv_ok = (idx >= hist_len) & (idx < mf_limit)
+    if N <= (1 << 16):
+        # si and dist both fit 16 bits (the preds loop enforces
+        # 0 < dist < WINDOW_SIZE): pack them into ONE sorted operand
+        # (1-op and 2-op sorts measure 10.5 vs 12.2 ms standalone).
+        dist_s = jnp.where(best_cand >= 0, (si - best_cand), 0)
+        packed = (si.astype(jnp.uint32) << 16) | dist_s.astype(jnp.uint32)
+        dist = (jax.lax.sort(packed) & jnp.uint32(0xFFFF)) \
+            .astype(jnp.int32)
+        return (dist > 0) & recv_ok, dist
+    cand = jax.lax.sort((si.astype(jnp.uint32), best_cand), num_keys=1)[1]
     valid = (cand >= 0) & (idx - cand < WINDOW_SIZE) & recv_ok
     return valid, idx - cand
 

@@ -119,6 +119,64 @@ def chain_select_serialize(work: np.ndarray, hist_len: int, src_len: int,
     return _chain_serialize_py(work, hist_len, src_len, chain)
 
 
+def _stream_meta(stream: np.ndarray) -> np.ndarray:
+    """Splice meta lanes recovered by walking a finished block stream
+    (pure-Python fallback when the native serializer is absent):
+    [trailing-token pos, trailing lit count, last-match stream offset or
+    -1, last-match payload anchor or -1] — lz4t_chain_serialize16m's
+    contract / the hybrid kernel's meta row."""
+    p, n, anchor = 0, len(stream), 0
+    last_d, last_anchor = -1, -1
+    if n == 0:
+        return np.array([0, 0, -1, -1], np.int64)
+    while True:
+        tok = int(stream[p])
+        q = p + 1
+        lit = tok >> 4
+        if lit == 15:
+            while True:
+                b = int(stream[q])
+                q += 1
+                lit += b
+                if b != 255:
+                    break
+        q += lit
+        if q >= n:  # trailing literal-only token
+            return np.array([p, lit, last_d, last_anchor], np.int64)
+        last_d, last_anchor = p, anchor
+        anchor += lit
+        q += 2
+        ml = tok & 0xF
+        if ml == 15:
+            while True:
+                b = int(stream[q])
+                q += 1
+                ml += b
+                if b != 255:
+                    break
+        anchor += ml + MIN_MATCH
+        p = q
+
+
+def chain_select_serialize_meta(work: np.ndarray, hist_len: int,
+                                src_len: int, chain: np.ndarray):
+    """chain_select_serialize (u16 dist chains only) + the big-block
+    splicer's meta lanes. Returns (stream u8, meta i64[4])."""
+    out = np.empty(block_bound(src_len) + 16, np.uint8)
+    work = np.ascontiguousarray(work, dtype=np.uint8)
+    dist16 = np.ascontiguousarray(chain, dtype=np.uint16)
+    try:
+        from ..native import chain_serialize16_meta_native
+    except Exception:
+        chain_serialize16_meta_native = None
+    if chain_serialize16_meta_native is not None:
+        n, meta = chain_serialize16_meta_native(work, hist_len, src_len,
+                                                dist16, out)
+        return out[:n], meta
+    s = _chain_serialize16_py(work, hist_len, src_len, dist16)
+    return s, _stream_meta(s)
+
+
 def _chain_serialize16_py(work: np.ndarray, hist_len: int, src_len: int,
                           dist16: np.ndarray) -> np.ndarray:
     """Pure-Python fallback for lz4t_chain_serialize16 (scan-based next

@@ -58,12 +58,20 @@ WAVE_CHUNK = 262144
 
 
 def _make_wave_kernel(cap: int, wire_nr: int, win_nr: int, chunk_nr: int,
-                      io_nr: int):
+                      io_nr: int, pair: int = 1):
     """One grid step = one wave. Refs: meta (SMEM prefetch i32[G,3]:
     trips, total, reset), recs (SMEM, 3 words/record), wire (VMEM, the
     wave's compressed image), win (VMEM, init window — dictionary or
     zeros), out (VMEM block per step), io (VMEM scratch, persists across
-    steps)."""
+    steps).
+
+    ``pair``: records per loop iteration — the records are a DEPENDENT
+    chain (no interleave), but the fori back-edge is still a pipeline
+    drain a longer straight-line body amortizes (same lever as
+    pallas_split_decode). The odd-tail overhang reads zero-pad records
+    whose cumsum dst = total: masked row writes nothing, wild row lands
+    above the window-carry read range (plan_waves caps ensure the reads
+    stay in SMEM bounds)."""
     chunk = chunk_nr * LANES
     bs_limit = W + chunk
 
@@ -90,10 +98,10 @@ def _make_wave_kernel(cap: int, wire_nr: int, win_nr: int, chunk_nr: int,
             x = pltpu.roll(ref[pl.ds(q // LANES, 2), :], ls - sq, axis=1)
             return x[0:1, :], x[1:2, :], sq
 
-        def body(i, _):
-            w0 = recs_ref[(3 * i) // LANES, (3 * i) % LANES]
-            w1 = recs_ref[(3 * i + 1) // LANES, (3 * i + 1) % LANES]
-            w2 = recs_ref[(3 * i + 2) // LANES, (3 * i + 2) % LANES]
+        def one(ri):
+            w0 = recs_ref[(3 * ri) // LANES, (3 * ri) % LANES]
+            w1 = recs_ref[(3 * ri + 1) // LANES, (3 * ri + 1) % LANES]
+            w2 = recs_ref[(3 * ri + 2) // LANES, (3 * ri + 2) % LANES]
             src = w0
             off = w1 & 0xFFFF
             ll = (w1 >> 16) & 0xFF
@@ -121,9 +129,13 @@ def _make_wave_kernel(cap: int, wire_nr: int, win_nr: int, chunk_nr: int,
             io_ref[pl.ds(j, 1), :] = jnp.where((iota >= s) & (iota < e),
                                                comb, d0)
             io_ref[pl.ds(j + 1, 1), :] = comb
+
+        def body(i, _):
+            for p in range(pair):
+                one(pair * i + p)
             return 0
 
-        jax.lax.fori_loop(0, trips, body, 0)
+        jax.lax.fori_loop(0, (trips + (pair - 1)) // pair, body, 0)
 
         # Ship the wave's bytes out (Pallas pipelines the block store).
         def outcpy(k, _):
@@ -150,9 +162,10 @@ def _make_wave_kernel(cap: int, wire_nr: int, win_nr: int, chunk_nr: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "pair"))
 def decode_chain_waves(wire: jax.Array, recs: jax.Array, meta: jax.Array,
-                       init_win: jax.Array, interpret: bool = False):
+                       init_win: jax.Array, interpret: bool = False,
+                       pair: int = 4):
     """Run the wave kernel over a planned frame.
 
     Args:
@@ -195,7 +208,7 @@ def decode_chain_waves(wire: jax.Array, recs: jax.Array, meta: jax.Array,
         scratch_shapes=[pltpu.VMEM((io_nr, LANES), jnp.int32)],
     )
     out, = pl.pallas_call(
-        _make_wave_kernel(cap, wire_nr, win_nr, chunk_nr, io_nr),
+        _make_wave_kernel(cap, wire_nr, win_nr, chunk_nr, io_nr, pair),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((G * chunk_nr, LANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
@@ -292,7 +305,9 @@ def plan_waves(buf: np.ndarray, plan, independent: bool, dict_len: int):
         return None  # a LONE piece over budget (pathological ~3 B seqs)
     max_wire = max((len(w) for w in wires_l), default=1)
     wire_cap = _round_up(max_wire + SLACK, 1024)
-    cap = _round_up(max_recs + 1, 2048)
+    # +8: the paired-record loop's odd-tail overhang may read up to
+    # pair-1 records past the count (decode_chain_waves pair <= 8)
+    cap = _round_up(max_recs + 8, 2048)
     wire = np.zeros((G, wire_cap), np.uint8)
     recs = np.zeros((G, cap, 2), np.uint32)
     for g in range(G):

@@ -113,6 +113,33 @@ def test_wire_kernel_bit_exact(name, rng, compressible):
     np.testing.assert_array_equal(out, data)
 
 
+def test_partition_by_plan_tiers():
+    """One dense block must not cap the whole batch's interleave: the
+    sorted order splits into maximal same-plan runs covering every
+    block exactly once, caps are monotone, and each part's cap bounds
+    its counts."""
+    from divortio_lz4_tpu.ops.pallas_split_decode import (
+        _cap_bucket, partition_by_plan, plan_ways_wire)
+
+    counts = np.array([900, 5000, 1200, 9000, 4800, 700, 3000, 2000],
+                      np.int32)
+    order = np.argsort(counts, kind="stable")
+    io_bytes = 66560
+    parts = partition_by_plan(counts, order, 2, 52224, io_bytes, 0)
+    got = np.concatenate([sel for sel, _, _ in parts])
+    np.testing.assert_array_equal(np.sort(got), np.arange(len(counts)))
+    prev_cap = 0
+    for sel, cap, ways in parts:
+        assert cap >= prev_cap and cap % 128 == 0
+        prev_cap = cap
+        assert ways == plan_ways_wire(cap, 2, 52224, io_bytes, 0)
+        for b in sel:
+            assert _cap_bucket(int(counts[b]) + 1) <= cap
+    # the dense 9000-record block must sit in its own lower-ways tier
+    ways_of = {int(b): w for sel, _, w in parts for b in sel}
+    assert ways_of[3] < ways_of[0]
+
+
 @pytest.mark.parametrize("pair", [2, 4])
 def test_wire_kernel_paired_records_bit_exact(pair, rng, compressible):
     """pair>1 runs `pair` records per way per loop iteration; the odd-count
