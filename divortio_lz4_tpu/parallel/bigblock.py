@@ -12,10 +12,14 @@ context is the previous 64 KB of plaintext, wherever the block boundaries
 are.
 
 Encode (``compress_frame_big``): split every block into 64 KB segments;
-each segment encodes independently on device with its preceding 64 KB of
-plaintext as a history row (the linked-mode trick of parallel/device.py
+each segment encodes independently with its preceding 64 KB of plaintext
+as a history row (the linked-mode trick of parallel/device.py
 `_compress_linked`, applied INSIDE a block — fully data-parallel, batched,
-shardable). The per-segment sequence streams are then spliced into one
+shardable). Round 4: segments run the CHAIN-DIRECT engine — device u16
+dist chains (ops/hybrid_encode.build_dist_chains) + the native host
+select/extend/serialize with splice meta (lz4t_chain_serialize16m) —
+replacing the hybrid Pallas walk (~0.6 us/sequence scalar floor). The
+per-segment sequence streams are then spliced into one
 spec-exact block stream on host: a segment's trailing-literal run merges
 into the next segment's first sequence (their literal bytes are contiguous
 plaintext), so only one token/length header is rewritten per boundary.
