@@ -125,11 +125,46 @@ def test_wave_window_reset_between_independent_blocks():
     plan = _plan_pieces(frame, blocks, hdr["block_max"])
     planned = plan_waves(frame, plan, True, 0)
     assert planned is not None
-    _, _, meta, totals = planned
-    resets = meta[:, 2]
-    assert resets[0] == 1 and int(resets.sum()) == len(blocks)
+    _, _, meta, totals, assign, _chunk = planned
+    # every chain's first wave (and only those) resets its way's window
+    assert int(meta[:, :, 2].sum()) == len(blocks)
+    for way, g0, _n in assign:
+        assert meta[g0, way, 2] == 1
     out = waves_decode(frame)
     np.testing.assert_array_equal(out, raw)
+
+
+def test_wave_ways_interleave_multiblock():
+    """>= 4 independent blocks run WAYS interleaved chains in one
+    dispatch; mixed compressible/stored content, bit-exact, and the plan
+    actually widens past one way."""
+    parts = [mixed_corpus(BS, seed=s) for s in (31, 32, 35)]
+    rng = np.random.default_rng(33)
+    parts.append(rng.integers(0, 256, BS, np.uint8))  # stored block
+    parts.append(mixed_corpus(70000, seed=34))  # short tail block
+    import jax.numpy as jnp
+
+    from divortio_lz4_tpu.ops.wave_decode import decode_chain_waves
+
+    raw = np.concatenate(parts)
+    cfg = lz4.FrameConfig(block_size=BS, block_independence=True)
+    frame = np.asarray(lz4.compress(raw, config=cfg))
+    hdr, blocks, _ = parse_block_index(frame)
+    plan = _plan_pieces(frame, blocks, hdr["block_max"])
+    planned = plan_waves(frame, plan, True, 0, max_ways=4)
+    assert planned is not None
+    wire, recs, meta, totals, assign, chunk = planned
+    assert meta.shape[1] >= 2  # ways widened on opt-in
+    out = np.asarray(decode_chain_waves(
+        jnp.asarray(wire), jnp.asarray(recs), jnp.asarray(meta),
+        jnp.asarray(np.zeros(65536, np.uint8)), True, chunk=chunk))
+    got = np.concatenate(
+        [out[way, g0 + k][: int(totals[g0 + k, way])]
+         for way, g0, n in assign for k in range(n)])
+    np.testing.assert_array_equal(got, raw)
+    # production default stays serial (measured faster; see plan_waves)
+    assert plan_waves(frame, plan, True, 0)[2].shape[1] == 1
+    np.testing.assert_array_equal(waves_decode(frame), raw)
 
 
 def test_wave_linked_plan_has_single_reset():
@@ -140,8 +175,9 @@ def test_wave_linked_plan_has_single_reset():
     plan = _plan_pieces(frame, blocks, hdr["block_max"])
     planned = plan_waves(frame, plan, False, 0)
     assert planned is not None
-    _, _, meta, _ = planned
-    assert int(meta[:, 2].sum()) == 1  # seed once, chain straight through
+    _, _, meta, _totals, assign, _chunk = planned
+    assert meta.shape[1] == 1  # linked = one chain = one way
+    assert int(meta[:, :, 2].sum()) == 1  # seed once, chain through
 
 
 # -------------------------------------------------------------- fallbacks --
