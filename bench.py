@@ -442,21 +442,19 @@ def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
 
     # Thread-parallel select/serialize, as the production frame path does
     # (parallel/device.py _compress_independent_split): the native selector
-    # releases the GIL, so blocks serialize concurrently.
-    from concurrent.futures import ThreadPoolExecutor
-    import os as _os
-    nthreads = min(_os.cpu_count() or 1, 8)
+    # releases the GIL, so blocks serialize concurrently on the SHARED
+    # internal pool (a fresh executor costs ~1-2 ms per batch).
+    from divortio_lz4_tpu.utils.pool import host_pool
+    ex = host_pool()
 
     def _ser_one(i):
         wk = np.zeros(block_size + 8, np.uint8)
         wk[:block_size] = corpus[i * block_size:(i + 1) * block_size]
         return chain_select_serialize(wk, 0, block_size, ch_np[i])
 
-    with ThreadPoolExecutor(nthreads) as ex:
-        outs = list(ex.map(_ser_one, range(nb)))
+    outs = list(ex.map(_ser_one, range(nb)))
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(nthreads) as ex:
-        outs = list(ex.map(_ser_one, range(nb)))
+    outs = list(ex.map(_ser_one, range(nb)))
     t_ser = time.perf_counter() - t0
     comp = sum(len(o) for o in outs)
     ref_total = 0
@@ -491,8 +489,7 @@ def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
         t0 = time.perf_counter()
         h = chains_fn(R)
         for _ in range(R):
-            with ThreadPoolExecutor(nthreads) as ex:
-                list(ex.map(_ser_one, range(nb)))
+            list(ex.map(_ser_one, range(nb)))
         _ = int(jnp.sum(h[0, :8]))
         tsP.append((time.perf_counter() - t0) / R)
     pipe = max(float(np.median(tsP)) - (float(np.median(ts1)) - kern) / R,

@@ -234,10 +234,9 @@ def _encode_segments(work: np.ndarray, lens: np.ndarray,
     out_lens = np.zeros(nrows, np.int64)
     metas = np.zeros((nrows, 4), np.int64)
 
-    from concurrent.futures import ThreadPoolExecutor
-    import os as _os
+    from ..utils.pool import host_pool
 
-    nthreads = min(_os.cpu_count() or 1, 8)
+    ex = host_pool()
     for i, r, ch in pend:
         ch_np = np.asarray(ch)  # syncs this chunk; later chunks keep going
 
@@ -248,8 +247,7 @@ def _encode_segments(work: np.ndarray, lens: np.ndarray,
             out_lens[k] = len(s)
             metas[k] = meta
 
-        with ThreadPoolExecutor(nthreads) as ex:
-            list(ex.map(_ser_one, range(i, i + r)))
+        list(ex.map(_ser_one, range(i, i + r)))
     return outs, out_lens, metas
 
 

@@ -280,17 +280,17 @@ def _split_encode_fetch(state) -> np.ndarray:
         comps[b] = chain_select_serialize(wk, hist_len, src_len,
                                           chains_np[k])
 
-    # The native selector releases the GIL — blocks serialize in parallel.
-    from concurrent.futures import ThreadPoolExecutor
-    import os as _os
-    with ThreadPoolExecutor(min(_os.cpu_count() or 1, 8)) as ex:
-        futs = []
-        for i, rows, chains in pend:
-            chains_np = np.asarray(chains)
-            for k in range(rows):
-                futs.append(ex.submit(_serialize_one, i + k, chains_np, k))
-        for f in futs:
-            f.result()
+    # The native selector releases the GIL — blocks serialize in parallel
+    # on the shared internal pool (a fresh executor costs ~1-2 ms/call).
+    from ..utils.pool import host_pool
+    ex = host_pool()
+    futs = []
+    for i, rows, chains in pend:
+        chains_np = np.asarray(chains)
+        for k in range(rows):
+            futs.append(ex.submit(_serialize_one, i + k, chains_np, k))
+    for f in futs:
+        f.result()
 
     return _assemble_frame_host(raw, comps, lens, nblocks, bs, config,
                                 dict_id)
@@ -389,16 +389,15 @@ def _compress_linked_split(data, config: FrameConfig,
         wk[W: W + src_len] = raw[b * bs: b * bs + src_len]
         comps[b] = chain_select_serialize(wk, W, src_len, chains_np[k])
 
-    from concurrent.futures import ThreadPoolExecutor
-    import os as _os
-    with ThreadPoolExecutor(min(_os.cpu_count() or 1, 8)) as ex:
-        futs = []
-        for i, rows, chains in pend:
-            chains_np = np.asarray(chains)
-            for k in range(rows):
-                futs.append(ex.submit(_serialize_one, i + k, chains_np, k))
-        for f in futs:
-            f.result()
+    from ..utils.pool import host_pool
+    ex = host_pool()
+    futs = []
+    for i, rows, chains in pend:
+        chains_np = np.asarray(chains)
+        for k in range(rows):
+            futs.append(ex.submit(_serialize_one, i + k, chains_np, k))
+    for f in futs:
+        f.result()
     return _assemble_frame_host(raw, comps, lens, nblocks, bs, config,
                                 dict_id)
 
