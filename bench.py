@@ -282,9 +282,9 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         [(c, False) for c in comps], block_size)
     t_parse = time.perf_counter() - t0
 
-    # Production dispatch structure: one call per density tier
-    # (partition_by_plan) at the tier's own interleave width, adaptive
-    # paired-record bodies inside the kernel (decode_blocks_wire default).
+    # Production dispatch structure (dispatch_partitioned's layout): one
+    # call per density tier at the tier's own PLANNED interleave width,
+    # adaptive paired-record bodies inside the kernel.
     rw = 2 if recs.dtype == np.uint16 else 3
     order = np.argsort(counts, kind="stable")
     parts = partition_by_plan(counts, order, rw, wire.shape[1],
@@ -303,21 +303,21 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         shipped += wire_p.nbytes + recs_p.nbytes + trips.nbytes
         staged.append((jax.device_put(jnp.asarray(wire_p)),
                        jax.device_put(jnp.asarray(recs_p)),
-                       jax.device_put(jnp.asarray(trips)), sel_p))
+                       jax.device_put(jnp.asarray(trips)), sel_p, ways))
     nb = len(comps)
     wire_ratio = shipped / (nb * block_size)
 
     def dec(reps=1):
         for _ in range(reps):
             outs = [decode_blocks_wire(w_, r_, t_, block_size,
-                                       False, None, False)
-                    for w_, r_, t_, _ in staged]
+                                       False, None, False, ways=wy_)
+                    for w_, r_, t_, _, wy_ in staged]
         return outs
 
     outs = dec()
     _ = [int(jnp.sum(o[0, :16].astype(jnp.int32))) for o in outs]  # sync
     # verify bit-exact (every block)
-    for o, (_, _, _, sel_p) in zip(outs, staged):
+    for o, (_, _, _, sel_p, _) in zip(outs, staged):
         out_np = np.asarray(o)
         for k, b in enumerate(sel_p):
             assert np.array_equal(
@@ -900,9 +900,10 @@ def main():
                 dev_size / bt_kern / 1e6, 1)
             dev_ok = dev_ok and bok
         # Multi-block default config: 16 MB as 4 independent 4 MB blocks
-        # (the reference's 25 MB headline shape) — the ways-wave kernel
-        # interleaves the block chains instead of serializing them
-        # through one scratch window.
+        # (the reference's 25 MB headline shape), decoded as serial
+        # chains through the wave kernel (the ways interleave measured
+        # SLOWER on dissimilar-density chains and stays opt-in behind
+        # plan_waves(max_ways=...) — see docs/DESIGN.md).
         mb_size = 16 * 1024 * 1024
         if len(corpus) >= mb_size:
             res = run_tier("bigblock-multi", args.device_budget_s // 3,
@@ -914,8 +915,8 @@ def main():
                       f"{mb_size / 1e6:.0f}MB, 4x4MB blocks: enc "
                       f"{mb_size / mt_enc / 1e6:.1f} MB/s, dec "
                       f"{mb_size / mt_dec / 1e6:.1f} MB/s e2e "
-                      f"({mb_size / mt_kern / 1e6:.1f} MB/s ways-wave "
-                      f"kernel amortized), compressed {mcomp}, "
+                      f"({mb_size / mt_kern / 1e6:.1f} MB/s wave-kernel "
+                      f"amortized, serial chains), compressed {mcomp}, "
                       f"bit-exact={'yes' if mok else 'NO'}",
                       file=sys.stderr)
                 extra["device_bigblock_multi_enc_mbps"] = round(

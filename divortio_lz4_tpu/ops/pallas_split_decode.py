@@ -710,11 +710,12 @@ def _cap_bucket(n: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "use_history", "interpret",
-                                    "pair"))
+                                    "pair", "ways"))
 def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
                        block_size: int, use_history: bool = False,
                        hist: jax.Array | None = None,
-                       interpret: bool = False, pair: int | None = None):
+                       interpret: bool = False, pair: int | None = None,
+                       ways: int | None = None):
     """Decode pre-parsed blocks straight from their wire bytes (v2 path).
 
     Args:
@@ -738,8 +739,15 @@ def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
 
     words, fmt = _expand_wire_records(recs, block_size)
     wpr = 2 if fmt == "n2" else 3  # SMEM words per record
-    ways = plan_ways_wire(cap, wpr, wire_bytes, io_bytes,
-                          W if use_history else 0)
+    if ways is None:
+        # Standalone planning — ONLY safe when the caller also derived
+        # its trips/padding from these exact shapes. Callers that
+        # partition by density tier and slice the wire to a per-tier
+        # width MUST pass their planned ways explicitly: replanning on
+        # the narrowed wire can pick a WIDER interleave than the trips
+        # were grouped for, silently misapplying record-loop bounds.
+        ways = plan_ways_wire(cap, wpr, wire_bytes, io_bytes,
+                              W if use_history else 0)
     assert nb % ways == 0, (nb, ways)
     nsteps = nb // ways
 
@@ -875,6 +883,41 @@ def partition_by_plan(counts: np.ndarray, order: np.ndarray, rw: int,
     return parts
 
 
+def dispatch_partitioned(wire: np.ndarray, recs: np.ndarray,
+                         counts: np.ndarray, wire_w: np.ndarray,
+                         block_size: int, interpret: bool):
+    """Density-tier batched dispatch (the ONE shared implementation —
+    streaming burst path and bench both use it; the frame path repeats
+    the pattern with history/chunking on top): sort blocks by record
+    count, partition into same-plan tiers (partition_by_plan), pad each
+    tier to its ways, slice recs to the tier cap and wire to the tier's
+    own max width, and queue one decode_blocks_wire per tier WITH THE
+    PLANNED WAYS (replanning inside on the narrowed wire could pick a
+    wider interleave than the trips were grouped for — silent
+    corruption, caught by review + regression test).
+
+    Returns [(sel_p, out)] with outputs still on device (async)."""
+    rw = 2 if recs.dtype == np.uint16 else 3
+    io_bytes = _round_up(block_size + SLACK, 1024)
+    order = np.argsort(counts, kind="stable")
+    pend = []
+    for sel, cap, ways in partition_by_plan(counts, order, rw,
+                                            wire.shape[1], io_bytes, 0):
+        pad = (-len(sel)) % ways
+        sel_p = np.concatenate([sel, np.repeat(sel[-1], pad)]) \
+            if pad else sel
+        trips = grouped_trips(counts[sel_p], ways)
+        # per-tier wire width: the link ships only this tier's max image
+        wcap = _round_up(int(wire_w[sel].max(initial=0)) + SLACK, 1024)
+        out = decode_blocks_wire(
+            jnp.asarray(np.ascontiguousarray(wire[sel_p, :wcap])),
+            jnp.asarray(np.ascontiguousarray(recs[sel_p, :cap])),
+            jnp.asarray(trips), block_size, False, None, interpret,
+            ways=ways)
+        pend.append((sel_p, out))
+    return pend
+
+
 def decode_wire_blocks2(comps, block_size: int,
                         interpret: bool | None = None):
     """Decode a list of independent blocks' wire bytes in batched
@@ -885,24 +928,9 @@ def decode_wire_blocks2(comps, block_size: int,
         interpret = jax.default_backend() != "tpu"
     wire, recs, counts, out_lens, _ = parse_wire_batch(
         [(c, False) for c in comps], block_size)
-    rw = 2 if recs.dtype == np.uint16 else 3
-    io_bytes = _round_up(block_size + SLACK, 1024)
-    order = np.argsort(counts, kind="stable")
     wire_w = np.array([len(c) for c in comps])
-    pend = []
-    for sel, cap, ways in partition_by_plan(counts, order, rw,
-                                            wire.shape[1], io_bytes, 0):
-        pad = (-len(sel)) % ways
-        sel_p = np.concatenate([sel, np.repeat(sel[-1], pad)]) \
-            if pad else sel
-        trips = grouped_trips(counts[sel_p], ways)
-        # per-part wire width: the link ships only this tier's max image
-        wcap = _round_up(int(wire_w[sel].max()) + SLACK, 1024)
-        out = decode_blocks_wire(
-            jnp.asarray(np.ascontiguousarray(wire[sel_p, :wcap])),
-            jnp.asarray(np.ascontiguousarray(recs[sel_p, :cap])),
-            jnp.asarray(trips), block_size, False, None, interpret)
-        pend.append((sel_p, out))
+    pend = dispatch_partitioned(wire, recs, counts, wire_w, block_size,
+                                interpret)
     res = [None] * len(comps)
     for sel_p, out in pend:
         out_np = np.asarray(out)

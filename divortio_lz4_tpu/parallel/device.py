@@ -1014,9 +1014,13 @@ def _decode_independent_split(buf, blocks, bs, window=None,
                         [hist_c,
                          np.zeros((target - rows, SP_W), np.uint8)])
                 hist_c = jnp.asarray(hist_c)
+            # ways passed EXPLICITLY: replanning inside on the narrowed
+            # per-tier wire width can pick a wider interleave than these
+            # trips were grouped for (silent corruption — review find).
             out = decode_blocks_wire(
                 jnp.asarray(wire_c), jnp.asarray(recs_c),
-                jnp.asarray(trips), bs, use_history, hist_c, interpret)
+                jnp.asarray(trips), bs, use_history, hist_c, interpret,
+                ways=ways_c)
             pend.append((sel, out))
     if defer:
         return (nb, pend, out_lens)

@@ -140,6 +140,49 @@ def test_partition_by_plan_tiers():
     assert ways_of[3] < ways_of[0]
 
 
+def test_partitioned_dispatch_ways_respects_plan(rng):
+    """Regression (review find): per-tier wire narrowing must not let
+    decode_blocks_wire replan a WIDER interleave than the partition's —
+    trips grouped for ways=2 applied at ways=4 silently truncated the
+    record loop. 256 KB blocks (wide records): 8 well-compressed blocks
+    (small wire) + 1 dense block (large wire) put the tier plan and the
+    narrowed-wire replan on different ways."""
+    from divortio_lz4_tpu.ops.pallas_split_decode import (
+        SLACK, _round_up, partition_by_plan)
+
+    bs = 262144
+    blocks = []
+    for s in range(8):
+        # varying block lengths -> varying record counts (records split
+        # matches at 128 B, so count ~ len/128), so trips grouped for
+        # one ways differ under another grouping
+        n = 32768 * (s + 1)
+        pat = rng.integers(0, 256, 1024, np.uint8)
+        blocks.append(np.tile(pat, -(-n // 1024))[:n])
+    # 16-symbol noise: compressible (not stored) but wire ~229 KB, so the
+    # light tier's plan (global wire, VMEM-bound ways=2) diverges from a
+    # replan on its own narrow wire (ways=4)
+    blocks.append(rng.integers(0, 16, bs).astype(np.uint8) * 13)
+    comps = [np.asarray(lz4.compress_raw(b)) for b in blocks]
+    assert all(len(c) < bs for c in comps)
+    # precondition: the plan divergence this test guards actually exists
+    wire, recs, counts, out_lens, _ = parse_wire_batch(
+        [(c, False) for c in comps], bs)
+    rw = 2 if recs.dtype == np.uint16 else 3
+    io = _round_up(bs + SLACK, 1024)
+    order = np.argsort(counts, kind="stable")
+    wire_w = np.array([len(c) for c in comps])
+    diverged = False
+    for sel, cap, ways in partition_by_plan(counts, order, rw,
+                                            wire.shape[1], io, 0):
+        wcap = _round_up(int(wire_w[sel].max()) + SLACK, 1024)
+        diverged |= plan_ways_wire(cap, rw, wcap, io, 0) != ways
+    assert diverged
+    outs = decode_wire_blocks2(comps, bs)
+    for o, b in zip(outs, blocks):
+        np.testing.assert_array_equal(o, b)
+
+
 @pytest.mark.parametrize("pair", [2, 4])
 def test_wire_kernel_paired_records_bit_exact(pair, rng, compressible):
     """pair>1 runs `pair` records per way per loop iteration; the odd-count
