@@ -213,7 +213,13 @@ class ShardedCodec:
                    bs: int):
         """shard_map'd WIRE-DIRECT split decode over the mesh (rows
         pre-striped and padded to ndev*ways by the device layer); *bs* is
-        the FRAME's block size. hist is None unless use_history."""
+        the FRAME's block size. hist is None unless use_history.
+
+        decode_blocks_wire replans its interleave inside the shard — safe
+        HERE (unlike the partitioned host paths, which slice wire per
+        tier and must pass ways explicitly) because the plan depends only
+        on cap/wire width, which sharding preserves: the device layer
+        grouped trips with the same plan over the same shapes."""
         from ..ops.pallas_split_decode import decode_blocks_wire
 
         interp = jax.default_backend() != "tpu"
