@@ -734,7 +734,7 @@ def main():
         res = run_tier("split decode", args.device_budget_s // 3,
                        lambda: bench_split_decode(
                            corpus[:dev_size], args.block,
-                           max(args.runs // 2, 1)))
+                           max(args.runs, 3)))
         if res is not None:
             pb, pt1, ptk, ptp, ptpipe, pwr = res
             print(f"bench[device-split-decode/tpu]: {pb / 1e6:.0f}MB "
@@ -759,7 +759,7 @@ def main():
         res = run_tier("chain encode", args.device_budget_s // 3,
                        lambda: bench_chain_encode(
                            corpus[:dev_size], args.block,
-                           max(args.runs // 2, 1)))
+                           max(args.runs, 3)))
         if res is not None:
             cb, ck, cs, cp, ccomp, cref = res
             print(f"bench[device-chain-encode/tpu]: {cb / 1e6:.0f}MB "
@@ -795,7 +795,7 @@ def main():
         rt_parts = {}
         res = run_tier("refcorpus split decode", args.device_budget_s // 3,
                        lambda: bench_split_decode(
-                           refc, args.block, max(args.runs // 2, 1)))
+                           refc, args.block, max(args.runs, 3)))
         if res is not None:
             rb, rt1, rtk, rtp, rtpipe, rwr = res
             print(f"bench[device-refcorpus-decode/tpu]: {rb / 1e6:.0f}MB "
@@ -810,7 +810,7 @@ def main():
             rt_parts["dec"] = rb / rtpipe / 1e6
         res = run_tier("refcorpus chain encode", args.device_budget_s // 3,
                        lambda: bench_chain_encode(
-                           refc, args.block, max(args.runs // 2, 1)))
+                           refc, args.block, max(args.runs, 3)))
         if res is not None:
             rb2, rk2, rs2, rp2, rcomp2, rref2 = res
             print(f"bench[device-refcorpus-encode/tpu]: {rb2 / 1e6:.0f}MB "
