@@ -786,6 +786,12 @@ def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
     # pipeline drain, but 32 inlined bodies hit register pressure).
     if pair is None:
         pair = max(1, 16 // ways)
+    # The paired loop's odd-tail overhang reads record indices up to
+    # pair*ceil(trips/pair)-1; with trips <= cap-1 this stays inside the
+    # way's own cap-record window only when pair divides cap — a
+    # non-divisor pair would read the NEXT way's records (executing a
+    # foreign record into the wrong output row).
+    assert cap % pair == 0, (cap, pair)
     outs = pl.pallas_call(
         _make_wire_kernel(ways, cap, fmt, wire_nr, io_nr, hist_nr, out_base,
                           block_size, pair),

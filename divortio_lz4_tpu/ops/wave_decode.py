@@ -217,6 +217,10 @@ def decode_chain_waves(wire: jax.Array, recs: jax.Array, meta: jax.Array,
 
     words, fmt = _expand_wire_records(recs, chunk)
     assert fmt == "w3"  # wave records are the wide u32 form
+    # Paired-loop overhang reads up to pair-1 records past the count;
+    # pair must divide cap or the tail read crosses into the next way's
+    # record window (see decode_blocks_wire).
+    assert cap % pair == 0, (cap, pair)
     words = words.reshape(G * ways * cap * 3 // LANES, LANES)
     wire_i = wire.astype(jnp.int32).reshape(G * ways * wire_nr, LANES)
     win_i = init_win.astype(jnp.int32).reshape(win_nr, LANES)

@@ -210,34 +210,40 @@ class ShardedCodec:
                                        dictionary=dictionary)
 
     def _dec_split(self, wire, recs, trips, hist, use_history: bool,
-                   bs: int):
+                   bs: int, ways: int | None = None):
         """shard_map'd WIRE-DIRECT split decode over the mesh (rows
         pre-striped and padded to ndev*ways by the device layer); *bs* is
         the FRAME's block size. hist is None unless use_history.
 
-        decode_blocks_wire replans its interleave inside the shard — safe
-        HERE (unlike the partitioned host paths, which slice wire per
-        tier and must pass ways explicitly) because the plan depends only
-        on cap/wire width, which sharding preserves: the device layer
-        grouped trips with the same plan over the same shapes."""
+        The device layer queues one of these dispatches PER DENSITY TIER
+        (each at its own cap/ways — _decode_independent_split), so *ways*
+        must be passed through to the kernel exactly as the trips were
+        grouped: replanning on a tier's narrowed wire width could pick a
+        wider interleave and misapply the record-loop bounds (the same
+        corruption class the partitioned host path guards against).
+        ways=None (legacy single-dispatch callers) lets the kernel plan —
+        safe only because those callers grouped trips over the SAME
+        unsliced shapes the kernel replans on."""
         from ..ops.pallas_split_decode import decode_blocks_wire
 
         interp = jax.default_backend() != "tpu"
         mesh, axis = self.mesh, self.axis
-        key = (wire.shape[1], recs.shape[1], bool(use_history), bs)
+        key = (wire.shape[1], recs.shape[1], bool(use_history), bs, ways)
         if not hasattr(self, "_dec_split_cache"):
             self._dec_split_cache = {}
         if key not in self._dec_split_cache:
             if use_history:
                 def dec_shard(wire_s, recs_s, trips_s, hist_s):
                     return decode_blocks_wire(wire_s, recs_s, trips_s, bs,
-                                              True, hist_s, interp)
+                                              True, hist_s, interp,
+                                              ways=ways)
                 in_specs = (P(axis, None), P(axis, None, None), P(axis),
                             P(axis, None))
             else:
                 def dec_shard(wire_s, recs_s, trips_s):
                     return decode_blocks_wire(wire_s, recs_s, trips_s, bs,
-                                              False, None, interp)
+                                              False, None, interp,
+                                              ways=ways)
                 in_specs = (P(axis, None), P(axis, None, None), P(axis))
 
             self._dec_split_cache[key] = jax.jit(shard_map(

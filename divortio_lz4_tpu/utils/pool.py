@@ -19,6 +19,19 @@ _pool: ThreadPoolExecutor | None = None
 _lock = threading.Lock()
 
 
+def _reset_after_fork() -> None:
+    # A forked child inherits a non-None _pool whose worker threads do not
+    # exist in the child — queueing work into it would hang forever. Drop
+    # the reference (no shutdown: the executor's queue/threads belong to
+    # the parent) so the child lazily rebuilds its own pool.
+    global _pool, _lock
+    _pool = None
+    _lock = threading.Lock()
+
+
+os.register_at_fork(after_in_child=_reset_after_fork)
+
+
 def host_pool() -> ThreadPoolExecutor:
     """The shared internal pool (lazy, process-lifetime)."""
     global _pool

@@ -68,8 +68,15 @@ class LZ4Worker:
             with cls._lock:
                 if cls._pool is None:
                     if cls.use_processes:
+                        # spawn, not fork: the parent process is routinely
+                        # multithreaded (JAX runtime threads, the shared
+                        # host pool) and fork() under threads is a latent
+                        # deadlock — CPython warns and POSIX only promises
+                        # async-signal-safe code between fork and exec.
+                        import multiprocessing
                         cls._pool = ProcessPoolExecutor(
-                            max_workers=cls.max_workers)
+                            max_workers=cls.max_workers,
+                            mp_context=multiprocessing.get_context("spawn"))
                     else:
                         cls._pool = ThreadPoolExecutor(
                             max_workers=cls.max_workers,
