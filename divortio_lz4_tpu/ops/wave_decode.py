@@ -432,11 +432,18 @@ def plan_waves(buf: np.ndarray, plan, independent: bool, dict_len: int,
 
 
 def decompress_frame_waves(buf: np.ndarray, blocks, header, window,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           defer: bool = False):
     """Decode a big-block (or linked) frame body with ONE wave-kernel
     dispatch. *blocks*/*header* from parse_block_index. Returns the
     plaintext, or None when a piece exceeds the wave capacity (giant RLE
-    — caller falls back to the XLA kernels)."""
+    — caller falls back to the XLA kernels).
+
+    defer=True returns (out_device_array, totals, assign) with the kernel
+    QUEUED but not synced — the multi-frame path
+    (parallel/device.py device_decompress_frames) queues every frame's
+    wave kernel before one stacked fetch, then assembles with
+    ``waves_assemble``."""
     from ..parallel.bigblock import _plan_pieces
 
     if interpret is None:
@@ -455,7 +462,13 @@ def decompress_frame_waves(buf: np.ndarray, blocks, header, window,
     out = decode_chain_waves(jnp.asarray(wire), jnp.asarray(recs),
                              jnp.asarray(meta), jnp.asarray(win),
                              interpret, chunk=chunk)
-    out_np = np.asarray(out)
+    if defer:
+        return (out, totals, assign)
+    return waves_assemble(np.asarray(out), totals, assign)
+
+
+def waves_assemble(out_np: np.ndarray, totals, assign) -> np.ndarray:
+    """Splice a fetched wave-kernel output back into plaintext order."""
     parts = []
     for way, g0, n in assign:  # chains in original (block) order
         for k in range(n):

@@ -187,8 +187,39 @@ def _segment_rows(raw: np.ndarray, bs: int, window: Optional[np.ndarray],
             np.array(hist_start, np.int32), seg_rows)
 
 
+def _dispatch_segments(work: np.ndarray, lens: np.ndarray,
+                       hist_start: np.ndarray):
+    """Queue the chain-kernel dispatches for segment rows (async).
+    Returns [(row_base, real_rows, chains_device)] — the dispatch half of
+    _encode_segments, split out so the multi-frame path can queue EVERY
+    frame's chains before the first fetch."""
+    import jax.numpy as jnp
+
+    from ..ops.hybrid_encode import build_dist_chains
+
+    CH = 32
+    nrows = work.shape[0]
+    pend = []
+    for i in range(0, nrows, CH):
+        w = work[i: i + CH]
+        l = lens[i: i + CH]
+        hs = hist_start[i: i + CH]
+        r = w.shape[0]
+        target = CH if nrows > CH else -(-r // 8) * 8
+        if r < target:
+            w = np.concatenate(
+                [w, np.zeros((target - r, w.shape[1]), w.dtype)])
+            l = np.concatenate([l, np.zeros(target - r, np.int32)])
+            hs = np.concatenate([hs, np.zeros(target - r, np.int32)])
+        ch = build_dist_chains(jnp.asarray(w.astype(np.int32)),
+                               jnp.asarray(l), WINDOW_SIZE,
+                               jnp.asarray(hs))
+        pend.append((i, r, ch))
+    return pend
+
+
 def _encode_segments(work: np.ndarray, lens: np.ndarray,
-                     hist_start: np.ndarray):
+                     hist_start: np.ndarray, pend=None, fetched=None):
     """Chain-direct encode of segment rows (round 4): device scored
     chains (build_dist_chains, u16 dist wire) + native host
     select/extend/serialize — the same engine as the 64 KB frame path,
@@ -208,24 +239,10 @@ def _encode_segments(work: np.ndarray, lens: np.ndarray,
     CH = 32
     nrows, rowlen = work.shape
     # queue every chunk's chain dispatch before fetching any (fetch of
-    # chunk k overlaps chunks k+1.. on device)
-    pend = []
-    for i in range(0, nrows, CH):
-        w = work[i: i + CH]
-        l = lens[i: i + CH]
-        hs = hist_start[i: i + CH]
-        r = w.shape[0]
-        target = CH if nrows > CH else -(-r // 8) * 8
-        if r < target:
-            w = np.concatenate(
-                [w, np.zeros((target - r, w.shape[1]), w.dtype)])
-            l = np.concatenate([l, np.zeros(target - r, np.int32)])
-            hs = np.concatenate([hs, np.zeros(target - r, np.int32)])
-        ch = build_dist_chains(jnp.asarray(w.astype(np.int32)),
-                               jnp.asarray(l), WINDOW_SIZE,
-                               jnp.asarray(hs))
-        pend.append((i, r, ch))
-
+    # chunk k overlaps chunks k+1.. on device); the multi-frame path
+    # passes pre-queued *pend* (+ optionally pre-fetched chains) instead
+    if pend is None:
+        pend = _dispatch_segments(work, lens, hist_start)
     # serializer reads 8-byte words past hist+src: pad rows once
     wk = np.zeros((nrows, rowlen + 8), np.uint8)
     wk[:, :rowlen] = work
@@ -237,8 +254,10 @@ def _encode_segments(work: np.ndarray, lens: np.ndarray,
     from ..utils.pool import host_pool
 
     ex = host_pool()
-    for i, r, ch in pend:
-        ch_np = np.asarray(ch)  # syncs this chunk; later chunks keep going
+    for j, (i, r, ch) in enumerate(pend):
+        # syncs this chunk; later chunks keep going (or all chunks were
+        # pre-fetched in one stacked pull by the multi-frame path)
+        ch_np = np.asarray(ch) if fetched is None else fetched[j]
 
         def _ser_one(k, base=i, chains=ch_np):
             s, meta = chain_select_serialize_meta(
@@ -508,14 +527,19 @@ def _splice_block(raw: np.ndarray, bstart: int, bend: int, streams, metas,
 
 def compress_frame_big(data,
                        config: FrameConfig,
-                       dictionary=None) -> np.ndarray:
+                       dictionary=None, defer: bool = False):
     """Device-compress a frame whose block size exceeds the hybrid
     encoder's 64 KB ceiling (segment + splice; see module docstring).
 
     Supports independent and linked frames, dictionaries, block checksums,
     stored fallback — the full `device_compress_frame` contract at
     256 KB / 1 MB / 4 MB block sizes.
-    """
+
+    defer=True returns an opaque state after QUEUEING the chain-kernel
+    dispatches (async, no sync paid); finish with
+    ``_finish_frame_big(state, fetched)`` where *fetched* holds the
+    chains pulled by the multi-frame stacked fetch
+    (compress_frames_big) — or None to fetch per chunk."""
     from .device import _dict_window, _frame_header_bytes
 
     raw = ensure_buffer(data)
@@ -526,7 +550,23 @@ def compress_frame_big(data,
     linked = not config.block_independence
 
     work, lens, hist_start, seg_rows = _segment_rows(raw, bs, window, linked)
-    outs, out_lens, metas = _encode_segments(work, lens, hist_start)
+    pend = _dispatch_segments(work, lens, hist_start)
+    if defer:
+        return (raw, n, bs, config, dict_id, linked, seg_rows, work, lens,
+                hist_start, pend)
+    return _finish_frame_big(
+        (raw, n, bs, config, dict_id, linked, seg_rows, work, lens,
+         hist_start, pend), None)
+
+
+def _finish_frame_big(state, fetched) -> np.ndarray:
+    """Serialize/splice/assemble half of compress_frame_big."""
+    from .device import _frame_header_bytes
+
+    (raw, n, bs, config, dict_id, linked, seg_rows, work, lens,
+     hist_start, pend) = state
+    outs, out_lens, metas = _encode_segments(work, lens, hist_start,
+                                             pend=pend, fetched=fetched)
 
     comps = []
     for b, rlist in enumerate(seg_rows):
@@ -572,6 +612,26 @@ def compress_frame_big(data,
         write_u32le(frame, pos, xxhash32(raw, 0))
         pos += 4
     return frame[:pos]
+
+
+def compress_frames_big(datas, config: FrameConfig,
+                        dictionary=None) -> list:
+    """Multi-frame PIPELINED big-block encode (VERDICT r4 #6): queue
+    EVERY frame's chain-kernel dispatches before the first fetch, pull
+    all chains in ONE stacked fetch, then serialize/splice/assemble per
+    frame — per-frame syncs paid ~30 ms each on this link."""
+    from .device import _fetch_stacked
+
+    states = [compress_frame_big(d, config, dictionary, defer=True)
+              for d in datas]
+    fetched = _fetch_stacked([ch for s in states for (_, _, ch) in s[10]])
+    k = 0
+    out = []
+    for s in states:
+        nf = len(s[10])
+        out.append(_finish_frame_big(s, fetched[k: k + nf]))
+        k += nf
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -1301,9 +1301,16 @@ def device_compress_frames(datas, config: FrameConfig = DEFAULT_CONFIG,
     datas = list(datas)
     eligible = engine == "split" and config.block_independence \
         and not config.block_checksums
+    big = False
     if eligible:
         from ..ops.hybrid_encode import hybrid_max_bs
-        eligible = config.resolved_block_size <= hybrid_max_bs()
+        big = config.resolved_block_size > hybrid_max_bs()
+    if eligible and big:
+        # Big-block frames (the reference's 4 MB default) pipeline through
+        # the segment engine: every frame's chain dispatches queue before
+        # ONE stacked chain fetch (VERDICT r4 #6).
+        from .bigblock import compress_frames_big
+        return compress_frames_big(datas, config, dictionary)
     if not eligible:
         return [device_compress_frame(d, config, dictionary=dictionary,
                                       engine=engine) for d in datas]
@@ -1331,12 +1338,15 @@ def device_decompress_frames(frames, verify_checksum: bool = True,
     frames = [ensure_buffer(f) for f in frames]
     results = [None] * len(frames)
     pend = []
+    wave_pend = []
     window, dict_id = _dict_window(dictionary)
     for i, buf in enumerate(frames):
         header, blocks, tail = parse_block_index(buf, verify_checksum)
         bs = header["block_max"]
+        big = engine == "split" and header["independent"] and blocks \
+            and bs > _SPLIT_MAX_BS
         if not (engine == "split" and header["independent"] and blocks
-                and bs <= _SPLIT_MAX_BS):
+                and (bs <= _SPLIT_MAX_BS or big)):
             results[i] = device_decompress_frame(
                 buf, verify_checksum, dictionary=dictionary, engine=engine)
             continue
@@ -1350,14 +1360,40 @@ def device_decompress_frames(frames, verify_checksum: bool = True,
                 stored = read_u32le(buf, off + size)
                 if stored != xxhash32(buf[off: off + size], 0):
                     raise ValueError("LZ4: Block Checksum Error")
+        if big:
+            # Big-block frames: queue each frame's ONE wave kernel now,
+            # sync with the stacked fetch below (VERDICT r4 #6). A None
+            # plan (giant RLE) falls back to the serial path.
+            from ..ops.wave_decode import decompress_frame_waves
+            st = decompress_frame_waves(buf, blocks, header, window,
+                                        defer=True)
+            if st is None:
+                results[i] = device_decompress_frame(
+                    buf, verify_checksum, dictionary=dictionary,
+                    engine=engine)
+            else:
+                wave_pend.append((i, st, header, buf, tail))
+            continue
         state = _decode_independent_split(buf, blocks, bs, window,
                                           defer=True)
         pend.append((i, state, header, buf, tail))
     # ONE stacked fetch for every frame's decoded chunks (per-frame
-    # np.asarray paid a ~30 ms link sync each).
-    fetched = _fetch_stacked([out for _, st, _, _, _ in pend
-                              for (_, out) in st[1]])
+    # np.asarray paid a ~30 ms link sync each). Wave outputs ride the
+    # same fetch (grouped by trailing shape).
+    fetched = _fetch_stacked(
+        [out for _, st, _, _, _ in pend for (_, out) in st[1]]
+        + [st[0].reshape(-1) for _, st, _, _, _ in wave_pend])
+    # (wave outputs flattened: per-frame (ways, G, chunk) shapes differ,
+    # flat u8 rows share one fetch group)
     k = 0
+
+    def _verify_tail(header, buf, tail, out):
+        if header["content_checksum"] and verify_checksum:
+            if tail + 4 > len(buf):
+                raise ValueError("LZ4: Malformed Input")
+            if read_u32le(buf, tail) != xxhash32(out, 0):
+                raise ValueError("LZ4: Content Checksum Error")
+
     for i, state, header, buf, tail in pend:
         nb_f, pend_f, out_lens_f = state
         np_pend = []
@@ -1365,10 +1401,14 @@ def device_decompress_frames(frames, verify_checksum: bool = True,
             np_pend.append((sel, fetched[k]))
             k += 1
         out = _split_decode_fetch((nb_f, np_pend, out_lens_f))
-        if header["content_checksum"] and verify_checksum:
-            if tail + 4 > len(buf):
-                raise ValueError("LZ4: Malformed Input")
-            if read_u32le(buf, tail) != xxhash32(out, 0):
-                raise ValueError("LZ4: Content Checksum Error")
+        _verify_tail(header, buf, tail, out)
         results[i] = out
+    from ..ops.wave_decode import waves_assemble
+    for fi, st, header, buf, tail in wave_pend:
+        d_out, totals, assign = st
+        out = waves_assemble(fetched[k].reshape(d_out.shape), totals,
+                             assign)
+        k += 1
+        _verify_tail(header, buf, tail, out)
+        results[fi] = out
     return results
