@@ -1016,6 +1016,77 @@ def dispatch_sharded_tiers(staged, bs, use_history, dec_fn, interpret):
     return pend
 
 
+def stage_sharded_compact(wire, recs_l, counts, out_lens, wire_w, bs,
+                          ndev, hist=None):
+    """Sharded staging for the COMPACT-stream kernel (round 5): stripe
+    count-sorted rows across the mesh, build an EQUAL-LENGTH flat record
+    stream PER SHARD (shard-local word bases and trips), chunk dispatches
+    so each shard's resident stream fits SMEM_COMPACT_WORDS. Compact
+    planning is VMEM-bound only, so ways is uniform across shards (8 at
+    <= 64 KB blocks) and the SPMD one-shape-per-dispatch constraint costs
+    nothing — no density tiers needed at narrow shapes (the padded
+    per-tier machinery remains for wide blocks).
+
+    Returns (staged, ways, pair) with staged =
+    [(stripe, wire_rows, words2d, bases2d, trips2d, hist_rows | None)]
+    as HOST arrays (the shard_map wrapper device_puts with the mesh
+    sharding)."""
+    from ..ops.pallas_split_decode import (
+        SMEM_COMPACT_WORDS, build_compact_batch, plan_ways_compact)
+    from ..ops.pallas_split_decode import SLACK as SP_SLACK
+    from ..ops.pallas_split_decode import W as SP_W
+    from ..ops.pallas_split_decode import _round_up as _ru
+
+    use_history = hist is not None
+    io_bytes = _ru((SP_W if use_history else 0) + bs + SP_SLACK, 1024)
+    ways = plan_ways_compact(wire.shape[1], io_bytes,
+                             SP_W if use_history else 0)
+    pair = max(1, 32 // ways)
+    order = np.argsort(counts, kind="stable")
+    unit = ndev * ways
+    staged = []
+    i, n = 0, len(order)
+    while i < n:
+        # greedy chunking by a per-shard worst-band bound: a band of
+        # `unit` sorted rows stripes to ONE group per shard, each group
+        # costing at most 2 * band-max * ways words
+        j, w_bound = i, 0
+        while j < n:
+            bmax = int(counts[order[j: j + unit]].max(initial=1))
+            bw = 2 * (-(-max(bmax, 1) // pair) * pair) * ways
+            if j > i and w_bound + bw > SMEM_COMPACT_WORDS:
+                break
+            w_bound += bw
+            j += unit
+        sel = order[i: min(j, n)]
+        i = min(j, n)
+        padn = (-len(sel)) % unit
+        sel_p = np.concatenate([sel, np.full(padn, sel[0], np.int64)]) \
+            if padn else sel
+        stripe = np.concatenate([sel_p[d::ndev] for d in range(ndev)])
+        rpd = len(sel_p) // ndev
+        words_l, bases_l, trips_l = [], [], []
+        for d in range(ndev):
+            wd, bd, td = build_compact_batch(
+                recs_l, counts, out_lens, stripe[d * rpd:(d + 1) * rpd],
+                ways, pair, bs)
+            words_l.append(wd)
+            bases_l.append(bd)
+            trips_l.append(td)
+        L = _ru(max(len(w) for w in words_l), 16384)
+        words2d = np.zeros((ndev, L), np.int32)
+        for d, wd in enumerate(words_l):
+            words2d[d, : len(wd)] = wd
+        bases2d = np.stack(bases_l)
+        trips2d = np.stack(trips_l)
+        wcap = _ru(int(wire_w[sel].max(initial=0)) + SP_SLACK, 1024)
+        staged.append((
+            stripe, np.ascontiguousarray(wire[stripe, :wcap]), words2d,
+            bases2d, trips2d,
+            np.ascontiguousarray(hist[stripe]) if use_history else None))
+    return staged, ways, pair
+
+
 def _decode_independent_split(buf, blocks, bs, window=None,
                               sharded=None, defer: bool = False):
     """Independent-frame decode via the WIRE-DIRECT split path (round 4,
@@ -1048,6 +1119,31 @@ def _decode_independent_split(buf, blocks, bs, window=None,
     interpret = jax.default_backend() != "tpu"
 
     max_wire = max((size for _, size, _ in blocks), default=1)
+    if sharded is not None and len(sharded) > 2 and bs <= 65536 \
+            and max_wire <= 65536:
+        # Sharded COMPACT path: per-shard flat streams over the mesh
+        # (round 5; ways uniform, no density tiers at narrow shapes).
+        ndev, _, dec_fn_c = sharded
+        wire, recs_l, counts, out_lens, hist = parse_wire_raw(
+            entries, bs, window)
+        wire_w = np.array([size for _, size, _ in blocks], np.int64) \
+            if nb else np.zeros(0, np.int64)
+        staged, c_ways, c_pair = stage_sharded_compact(
+            wire, recs_l, counts, out_lens, wire_w, bs, ndev, hist)
+        pend = [(stripe,
+                 dec_fn_c(w_, wd_, b_, t_, h_, use_history, bs, c_ways,
+                          c_pair))
+                for stripe, w_, wd_, b_, t_, h_ in staged]
+        outs = [None] * nb
+        for stripe, out in pend:
+            out_np = np.asarray(out)
+            for k, b in enumerate(stripe):
+                if outs[b] is None:
+                    outs[b] = out_np[k]
+        return np.concatenate(
+            [outs[i][: int(out_lens[i])] for i in range(nb)]) \
+            if nb else np.empty(0, np.uint8)
+
     if sharded is None and bs <= 65536 and max_wire <= 65536:
         # COMPACT-stream path (round 5): flat scalar-prefetched record
         # stream + per-way bases — no per-way cap window, so dense tiers
@@ -1072,7 +1168,7 @@ def _decode_independent_split(buf, blocks, bs, window=None,
     order = np.argsort(counts, kind="stable")
 
     if sharded is not None:
-        ndev, dec_fn = sharded
+        ndev, dec_fn = sharded[0], sharded[1]
         sizes = np.array([size for _, size, _ in blocks], np.int64) \
             if nb else np.zeros(0, np.int64)
         pend = stage_sharded_tiers(

@@ -205,9 +205,55 @@ class ShardedCodec:
             return device_decompress_frame(
                 data, verify_checksum, dictionary=dictionary,
                 engine="split",
-                split_sharded=(self.ndev, self._dec_split))
+                split_sharded=(self.ndev, self._dec_split,
+                               self._dec_split_compact))
         return device_decompress_frame(data, verify_checksum, decode_batch,
                                        dictionary=dictionary)
+
+    def _dec_split_compact(self, wire, words2d, bases2d, trips2d, hist,
+                           use_history: bool, bs: int, ways: int,
+                           pair: int):
+        """shard_map'd COMPACT-stream wire decode (round 5): every shard
+        receives its own equal-length flat record stream (words2d row),
+        shard-local word bases, and shard-local trips — the device layer
+        stripes count-sorted rows across the mesh and builds per-shard
+        streams (stage_sharded_compact). ways is uniform (compact
+        planning is VMEM-bound only → 8 at <= 64 KB blocks), so the SPMD
+        constraint costs nothing here."""
+        from ..ops.pallas_split_decode import decode_blocks_wire_compact
+
+        interp = jax.default_backend() != "tpu"
+        mesh, axis = self.mesh, self.axis
+        key = ("compact", wire.shape[1], words2d.shape[1],
+               bases2d.shape[1], bool(use_history), bs, ways, pair)
+        if not hasattr(self, "_dec_split_cache"):
+            self._dec_split_cache = {}
+        if key not in self._dec_split_cache:
+            if use_history:
+                def dec_shard(wire_s, words_s, bases_s, trips_s, hist_s):
+                    return decode_blocks_wire_compact(
+                        wire_s, words_s[0], bases_s[0], trips_s[0], bs,
+                        True, hist_s, interp, pair=pair, ways=ways)
+                in_specs = (P(axis, None), P(axis, None), P(axis, None),
+                            P(axis, None), P(axis, None))
+            else:
+                def dec_shard(wire_s, words_s, bases_s, trips_s):
+                    return decode_blocks_wire_compact(
+                        wire_s, words_s[0], bases_s[0], trips_s[0], bs,
+                        False, None, interp, pair=pair, ways=ways)
+                in_specs = (P(axis, None), P(axis, None), P(axis, None),
+                            P(axis, None))
+            self._dec_split_cache[key] = jax.jit(shard_map(
+                dec_shard, mesh=mesh, check_vma=False,
+                in_specs=in_specs, out_specs=P(axis, None)))
+        sh2 = NamedSharding(mesh, P(self.axis, None))
+        args = [jax.device_put(jnp.asarray(wire), sh2),
+                jax.device_put(jnp.asarray(words2d), sh2),
+                jax.device_put(jnp.asarray(bases2d), sh2),
+                jax.device_put(jnp.asarray(trips2d), sh2)]
+        if use_history:
+            args.append(jax.device_put(jnp.asarray(hist), sh2))
+        return self._dec_split_cache[key](*args)
 
     def _dec_split(self, wire, recs, trips, hist, use_history: bool,
                    bs: int, ways: int | None = None):
