@@ -271,14 +271,30 @@ def _split_encode_fetch(state) -> np.ndarray:
 
     comps = [None] * nblocks
 
-    def _serialize_one(b, chains_np, k):
-        src_len = int(lens[b])
-        wk = np.zeros(hist_len + src_len + 8, np.uint8)
-        if hist_len:
+    if hist_len == 0:
+        # ONE padded copy of the frame instead of a zeros+memcpy per
+        # block (8 MB of pure memory traffic per 4 MB batch): row b's
+        # work view is raw_pad[b*bs : b*bs+src_len+8]. The 8 slack bytes
+        # may be the NEXT block's bytes — harmless: the extension loop
+        # clamps at match_limit and only needs them readable.
+        raw_pad = np.empty(nblocks * bs + 8, np.uint8)
+        raw_np = np.asarray(raw, np.uint8)
+        raw_pad[: len(raw_np)] = raw_np
+        raw_pad[len(raw_np):] = 0
+
+        def _serialize_one(b, chains_np, k):
+            src_len = int(lens[b])
+            comps[b] = chain_select_serialize(
+                raw_pad[b * bs: b * bs + src_len + 8], 0, src_len,
+                chains_np[k])
+    else:
+        def _serialize_one(b, chains_np, k):
+            src_len = int(lens[b])
+            wk = np.zeros(hist_len + src_len + 8, np.uint8)
             wk[:hist_len] = work[b, :hist_len]
-        wk[hist_len: hist_len + src_len] = raw[b * bs: b * bs + src_len]
-        comps[b] = chain_select_serialize(wk, hist_len, src_len,
-                                          chains_np[k])
+            wk[hist_len: hist_len + src_len] = raw[b * bs: b * bs + src_len]
+            comps[b] = chain_select_serialize(wk, hist_len, src_len,
+                                              chains_np[k])
 
     # The native selector releases the GIL — blocks serialize in parallel
     # on the shared internal pool (a fresh executor costs ~1-2 ms/call).
