@@ -288,16 +288,29 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     nb = len(comps)
     wire_ratio = shipped / (nb * block_size)
 
-    def dec(reps=1):
-        for _ in range(reps):
-            outs = [decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
-                                               False, None, False,
-                                               pair=pair, ways=ways)
-                    for _, dw, dwd, db, dt, _ in staged]
-        return outs
+    def dec_once():
+        return [decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
+                                           False, None, False,
+                                           pair=pair, ways=ways)
+                for _, dw, dwd, db, dt, _ in staged]
 
-    outs = dec()
-    _ = [int(jnp.sum(o[0, :16].astype(jnp.int32))) for o in outs]  # sync
+    def dec(reps=1):
+        """reps decode batches queued; EVERY rep contributes a tiny
+        reduction to the returned parts so the final one-fetch sync
+        data-depends on all of them — syncing only the LAST rep's
+        outputs leaves earlier reps' execution unverifiable on this
+        relay (forcing them afterwards measurably costs more wall)."""
+        parts = []
+        for _ in range(reps):
+            outs = dec_once()
+            parts += [jnp.sum(o[0, :16].astype(jnp.int32)) for o in outs]
+        return outs, parts
+
+    def sync(parts):
+        _ = int(jnp.stack(parts).sum())
+
+    outs, parts = dec()
+    sync(parts)
     # verify bit-exact (every block)
     for o, (sel_p, *_rest) in zip(outs, staged):
         out_np = np.asarray(o)
@@ -307,19 +320,15 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
                 corpus[plains[b] * block_size:
                        plains[b] * block_size + int(out_lens[b])]), k
 
-    def sync(outs):
-        for o in outs:
-            _ = int(jnp.sum(o[0, :16].astype(jnp.int32)))
-
     R = 6
     ts1, tsR, tsP = [], [], []
     for _ in range(runs):
         t0 = time.perf_counter()
-        sync(dec())
+        sync(dec()[1])
         ts1.append(time.perf_counter() - t0)
     for _ in range(runs):
         t0 = time.perf_counter()
-        sync(dec(R))
+        sync(dec(R)[1])
         tsR.append(time.perf_counter() - t0)
     t1 = float(np.median(ts1))
     tR = float(np.median(tsR))
@@ -330,10 +339,10 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     # ~ max(kernel, parse).
     for _ in range(runs):
         t0 = time.perf_counter()
-        outs = dec(R)
+        _, parts = dec(R)
         for _ in range(R):
             parse_wire_raw([(c, False) for c in comps], block_size)
-        sync(outs)
+        sync(parts)
         tsP.append((time.perf_counter() - t0) / R)
     pipe = max(float(np.median(tsP)) - (t1 - kern) / R, 1e-9)
     return nb * block_size, t1, kern, t_parse, pipe, wire_ratio
@@ -414,12 +423,19 @@ def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
     d_lens = jax.device_put(jnp.asarray(lens))
 
     def chains_fn(reps=1):
+        """Every rep contributes to the returned parts — the one-fetch
+        sync must data-depend on ALL reps (see bench_split_decode.dec)."""
+        parts = []
         for _ in range(reps):
             ch = encode_blocks_chain(d_work, d_lens, block_size)
-        return ch
+            parts.append(jnp.sum(ch[0, :8]))
+        return ch, parts
 
-    ch = chains_fn()
-    _ = int(jnp.sum(ch[0, :8]))
+    def sync(parts):
+        _ = int(jnp.stack(parts).sum())
+
+    ch, parts = chains_fn()
+    sync(parts)
     ch_np = np.asarray(ch)
 
     # Thread-parallel select/serialize, as the production frame path does
@@ -457,13 +473,11 @@ def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
     ts1, tsR = [], []
     for _ in range(runs):
         t0 = time.perf_counter()
-        ch = chains_fn()
-        _ = int(jnp.sum(ch[0, :8]))
+        sync(chains_fn()[1])
         ts1.append(time.perf_counter() - t0)
     for _ in range(runs):
         t0 = time.perf_counter()
-        ch = chains_fn(R)
-        _ = int(jnp.sum(ch[0, :8]))
+        sync(chains_fn(R)[1])
         tsR.append(time.perf_counter() - t0)
     kern = max((float(np.median(tsR)) - float(np.median(ts1))) / (R - 1),
                1e-9)
@@ -474,10 +488,10 @@ def bench_chain_encode(corpus: np.ndarray, block_size: int, runs: int):
     tsP = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        h = chains_fn(R)
+        _, parts = chains_fn(R)
         for _ in range(R):
             list(ex.map(_ser_one, range(nb)))
-        _ = int(jnp.sum(h[0, :8]))
+        sync(parts)
         tsP.append((time.perf_counter() - t0) / R)
     pipe = max(float(np.median(tsP)) - (float(np.median(ts1)) - kern) / R,
                1e-9)
@@ -558,18 +572,22 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
                                             pair=c_pair, ways=c_ways))
                 for sel_p, dw, dwd, db, dt, _ in staged]
 
-    def sync(pend, ch_last):
-        # ONE host fetch for the whole round set: each separate scalar
-        # fetch pays this link's fixed ~30 ms round trip, and a staged
-        # decode is 6+ chunks — per-output fetches dominated the round-5a
-        # composite figure (92 ms/round measured vs 22 ms of kernels).
+    def round_parts(pend, ch_k):
+        # tiny per-round reductions; the single final fetch data-depends
+        # on EVERY round's kernels (syncing only the last round leaves
+        # earlier rounds' execution unverifiable on this relay), and ONE
+        # host fetch avoids the per-chunk ~30 ms round trips that
+        # dominated the first composite attempt.
         parts = [jnp.sum(o[0, :16].astype(jnp.int32)) for _, o in pend]
-        parts.append(jnp.sum(ch_last[0, :8]))
+        parts.append(jnp.sum(ch_k[0, :8]))
+        return parts
+
+    def sync(parts):
         _ = int(jnp.stack(parts).sum())
 
     # Warm + verify: full enc->dec is bit-exact and sized <= reference.
     pend = decode_staged()
-    sync(pend, ch)
+    sync(round_parts(pend, ch))
     for sel_p, o in pend:
         o_np = np.asarray(o)
         seen = set()
@@ -586,20 +604,25 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
             corpus[i * block_size:(i + 1) * block_size]))), block_size)
         for i in range(nb))
 
-    R = 4
+    R = 8
 
     def run_pipe(rounds):
+        parts = []
         t0 = time.perf_counter()
         for _ in range(rounds):
             ch_k = chains()              # queue chain kernels (device)
             serialize(ch_np)             # host select/serialize compute
             parse_wire_raw([(c, False) for c in outs], block_size)
             pend_k = decode_staged()     # queue decode kernels (device)
-        sync(pend_k, ch_k)
+            parts += round_parts(pend_k, ch_k)
+        sync(parts)
         return time.perf_counter() - t0
 
     # Two-point amortization (the device-tier convention): the fixed
-    # dispatch+sync cost cancels in (tR - t1) / (R - 1).
+    # dispatch+sync cost cancels in (tR - t1) / (R - 1). R=8: the
+    # subtraction is noise-sensitive on this link (run-to-run fixed-cost
+    # swings once produced an impossible < chains-alone figure), so the
+    # long arm dominates it.
     ts1 = [run_pipe(1) for _ in range(runs)]
     tsR = [run_pipe(R) for _ in range(runs)]
     t_pipe = max((float(np.median(tsR)) - float(np.median(ts1)))
@@ -615,7 +638,7 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
             pend_k = dispatch_compact(              # in-loop H2D transfer
                 wire_k, recs_lk, counts_k, out_lens_k,
                 np.array([len(c) for c in outs_k]), block_size, False)
-            sync(pend_k, ch_k)
+            sync(round_parts(pend_k, ch_k))
         ts_serial.append((time.perf_counter() - t0) / R)
     return (nb * block_size, t_pipe,
             float(np.median(ts_serial)), comp, ref_total)
@@ -719,24 +742,23 @@ def bench_device_bigblock(corpus: np.ndarray, runs: int):
         d_win = jax.device_put(jnp.asarray(np.zeros(65536, np.uint8)))
 
         def waves(reps=1):
+            parts = []
             for _ in range(reps):
                 o = decode_chain_waves(d_wire, d_recs, d_meta, d_win,
                                        interp, chunk=chunk)
-            return o
+                parts.append(jnp.sum(o[0, 0, :8].astype(jnp.int32)))
+            return int(jnp.stack(parts).sum())
 
-        o = waves()
-        _ = int(jnp.sum(o[0, 0, :8].astype(jnp.int32)))
+        waves()
         R = 4
         ts1, tsR = [], []
         for _ in range(runs):
             t0 = time.perf_counter()
-            o = waves()
-            _ = int(jnp.sum(o[0, 0, :8].astype(jnp.int32)))
+            waves()
             ts1.append(time.perf_counter() - t0)
         for _ in range(runs):
             t0 = time.perf_counter()
-            o = waves(R)
-            _ = int(jnp.sum(o[0, 0, :8].astype(jnp.int32)))
+            waves(R)
             tsR.append(time.perf_counter() - t0)
         t_kern = max((float(np.median(tsR)) - float(np.median(ts1)))
                      / (R - 1), 1e-9)
