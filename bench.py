@@ -252,6 +252,7 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     and the shipped-bytes ratio vs plaintext. Returns
     (bytes, t_single, t_kernel_amortized, t_parse, wire_ratio).
     """
+    import jax
     import jax.numpy as jnp
 
     import divortio_lz4_tpu as lz4
@@ -294,16 +295,22 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
                                            pair=pair, ways=ways)
                 for _, dw, dwd, db, dt, _ in staged]
 
+    @jax.jit
+    def _probe(*outs):
+        # ONE fused reduction per rep: per-chunk probes each pay ~0.75 ms
+        # of relay dispatch (measured: 6 probes/rep inflated the kernel
+        # figure 10.2 -> 14.6 ms); the fused form costs ~1 ms/rep and the
+        # final one-fetch sync still data-depends on EVERY rep (syncing
+        # only the last rep leaves earlier reps' execution unverifiable
+        # on this relay).
+        return jnp.stack([o[0, :16].astype(jnp.int32).sum()
+                          for o in outs]).sum()
+
     def dec(reps=1):
-        """reps decode batches queued; EVERY rep contributes a tiny
-        reduction to the returned parts so the final one-fetch sync
-        data-depends on all of them — syncing only the LAST rep's
-        outputs leaves earlier reps' execution unverifiable on this
-        relay (forcing them afterwards measurably costs more wall)."""
         parts = []
         for _ in range(reps):
             outs = dec_once()
-            parts += [jnp.sum(o[0, :16].astype(jnp.int32)) for o in outs]
+            parts.append(_probe(*outs))
         return outs, parts
 
     def sync(parts):
@@ -572,15 +579,18 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
                                             pair=c_pair, ways=c_ways))
                 for sel_p, dw, dwd, db, dt, _ in staged]
 
+    @jax.jit
+    def _probe(ch_k, *outs):
+        # ONE fused reduction per round (per-chunk probes pay ~0.75 ms of
+        # relay dispatch each); the single final fetch data-depends on
+        # EVERY round's kernels, and ONE host fetch avoids the per-chunk
+        # ~30 ms round trips that dominated the first composite attempt.
+        return (jnp.stack([o[0, :16].astype(jnp.int32).sum()
+                           for o in outs]).sum()
+                + ch_k[0, :8].sum())
+
     def round_parts(pend, ch_k):
-        # tiny per-round reductions; the single final fetch data-depends
-        # on EVERY round's kernels (syncing only the last round leaves
-        # earlier rounds' execution unverifiable on this relay), and ONE
-        # host fetch avoids the per-chunk ~30 ms round trips that
-        # dominated the first composite attempt.
-        parts = [jnp.sum(o[0, :16].astype(jnp.int32)) for _, o in pend]
-        parts.append(jnp.sum(ch_k[0, :8]))
-        return parts
+        return [_probe(ch_k, *[o for _, o in pend])]
 
     def sync(parts):
         _ = int(jnp.stack(parts).sum())

@@ -10,7 +10,13 @@ import os
 
 # Force CPU even when the session env points at real TPU hardware
 # (JAX_PLATFORMS=axon): the suite must exercise the virtual 8-device mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# LZ4T_TPU_TESTS=1 opts OUT of the forcing so the
+# skipif-not-tpu parity markers run on the real chip
+# (`LZ4T_TPU_TESTS=1 python -m pytest tests/ -q -m ''` on hardware —
+# serialize with any other TPU job; compiles ride the persistent cache).
+_USE_TPU = os.environ.get("LZ4T_TPU_TESTS") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,7 +29,8 @@ import pytest
 # The environment's site hook registers the real-TPU backend and overrides
 # jax_platforms at interpreter start; force it back to CPU before any
 # backend initializes so the suite runs on the virtual 8-device mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the XLA codec kernels are large graphs; caching
 # amortizes their compile time across test runs.
