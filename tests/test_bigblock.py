@@ -191,3 +191,28 @@ def test_bigblock_real_tpu_parity(compressible):
     assert len(frame) <= len(lz4.compress(corpus, config=cfg))
     out = device_decompress_frame(frame, engine="split")
     np.testing.assert_array_equal(np.asarray(out), corpus)
+
+
+def test_bigblock_multiframe_pipelined_roundtrip(compressible):
+    """compress_frames_big / the wave-deferred decompress_frames path
+    (round 5): N big-block frames queue every chain dispatch before one
+    stacked fetch, and every wave kernel before one flattened fetch —
+    byte-identical to the serial per-frame path."""
+    import numpy as np
+
+    import divortio_lz4_tpu as lz4
+    from divortio_lz4_tpu.frame import decompress_frame
+    from divortio_lz4_tpu.parallel.device import (
+        device_compress_frame, device_compress_frames,
+        device_decompress_frames)
+
+    cfg = lz4.FrameConfig(block_size=262144, block_independence=True)
+    datas = [np.asarray(compressible(260000 + 9000 * i)) for i in range(3)]
+    frames = device_compress_frames(datas, cfg)
+    for d, f in zip(datas, frames):
+        one = device_compress_frame(d, cfg, engine="split")
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(one))
+        np.testing.assert_array_equal(decompress_frame(np.asarray(f)), d)
+    outs = device_decompress_frames(frames)
+    for o, d in zip(outs, datas):
+        np.testing.assert_array_equal(np.asarray(o), d)
