@@ -282,10 +282,10 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
     t_parse = time.perf_counter() - t0
 
     wire_w = np.array([len(c) for c in comps])
-    staged, ways, pair = stage_compact(wire, recs_l, counts, out_lens,
-                                       wire_w, block_size)
+    staged = stage_compact(wire, recs_l, counts, out_lens,
+                           wire_w, block_size)
     shipped = sum(dw.nbytes + dwd.nbytes + db.nbytes + dt.nbytes
-                  for _, dw, dwd, db, dt, _ in staged)
+                  for _, _, _, dw, dwd, db, dt, _ in staged)
     nb = len(comps)
     wire_ratio = shipped / (nb * block_size)
 
@@ -293,7 +293,7 @@ def bench_split_decode(corpus: np.ndarray, block_size: int, runs: int):
         return [decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
                                            False, None, False,
                                            pair=pair, ways=ways)
-                for _, dw, dwd, db, dt, _ in staged]
+                for _, ways, pair, dw, dwd, db, dt, _ in staged]
 
     @jax.jit
     def _probe(*outs):
@@ -569,15 +569,15 @@ def bench_composite_rt(corpus: np.ndarray, block_size: int, runs: int):
     wire, recs_l, counts, out_lens, _ = parse_wire_raw(
         [(c, False) for c in outs], block_size)
     wire_w = np.array([len(c) for c in outs])
-    staged, c_ways, c_pair = stage_compact(wire, recs_l, counts, out_lens,
-                                           wire_w, block_size)
+    staged = stage_compact(wire, recs_l, counts, out_lens,
+                           wire_w, block_size)
 
     def decode_staged():
         return [(sel_p,
                  decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
                                             False, None, False,
                                             pair=c_pair, ways=c_ways))
-                for sel_p, dw, dwd, db, dt, _ in staged]
+                for sel_p, c_ways, c_pair, dw, dwd, db, dt, _ in staged]
 
     @jax.jit
     def _probe(ch_k, *outs):

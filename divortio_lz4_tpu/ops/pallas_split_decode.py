@@ -686,7 +686,7 @@ def _make_wire_kernel(ways: int, cap: int, fmt: str, wire_nr: int,
     return kernel
 
 
-def _make_wire_kernel_compact(ways: int, wire_nr: int, io_nr: int,
+def _make_wire_kernel_compact(ways: int, wire_nr: int,
                               hist_nr: int, out_base: int, out_cap: int,
                               pair: int):
     """Compact-stream variant of _make_wire_kernel (round 5, VERDICT r4
@@ -791,7 +791,12 @@ def plan_ways_compact(wire_bytes: int, io_bytes: int,
 
 # Resident compact record stream budget per dispatch (words * 4 bytes).
 # SMEM holds it once (no double-buffered windows), alongside trips/bases.
-SMEM_COMPACT_WORDS = 112 * 1024  # 448 KB
+# 512 KB: the bench mix's densest chunk (one 8-way group of ~7.9k-record
+# rows = 504 KB) measured 654 MB/s at this residency; 800 KB measured
+# SLOWER (SMEM pressure), and the guard in stage_compact shrinks a
+# chunk's ways when a single group alone would exceed this (dense 64 KB
+# rows at ~15k records would stage ~960 KB at ways=8).
+SMEM_COMPACT_WORDS = 128 * 1024  # 512 KB
 
 
 @functools.partial(jax.jit,
@@ -861,7 +866,7 @@ def decode_blocks_wire_compact(wire: jax.Array, words: jax.Array,
         ],
     )
     outs = pl.pallas_call(
-        _make_wire_kernel_compact(ways, wire_nr, io_nr, hist_nr, out_base,
+        _make_wire_kernel_compact(ways, wire_nr, hist_nr, out_base,
                                   block_size, pair),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nsteps * io_nr, LANES), jnp.int32)
@@ -874,14 +879,16 @@ def decode_blocks_wire_compact(wire: jax.Array, words: jax.Array,
     return out[:, out_base: out_base + block_size].astype(jnp.uint8)
 
 
-def build_compact_batch(recs_l, counts, out_lens, order_p, ways, pair,
+def build_compact_batch(recs_l, counts, order_p, ways, pair,
                         block_size):
     """Build the compact record stream for rows laid out in *order_p*
     (already padded to a ways multiple; padding repeats a low-count row).
 
     Per group of *ways* rows: trip bound = pair-rounded max count; every
-    row's stream is padded to that bound with no-op records, so the
-    kernel's loop never reads a foreign row's records. Returns
+    row's stream is padded to that bound with no-op records (dst = the
+    row's summed output length, clamped u16 — their wild second-row
+    store lands in the slack past the output), so the kernel's loop
+    never reads a foreign row's records. Returns
     (words i32[N], bases i32[len(order_p)], trips i32[nsteps] —
     ALREADY pair-divided)."""
     nsteps = len(order_p) // ways
@@ -949,6 +956,12 @@ def parse_wire_raw(entries, block_size: int, window=None):
     return wire, recs_l, counts, out_lens, hist
 
 
+def _group_words(gmax: int, ways: int, pair: int) -> int:
+    """Resident words one interleave group costs: ways rows padded to the
+    pair-rounded trip bound, 2 words/record."""
+    return 2 * (-(-max(gmax, 1) // pair) * pair) * ways
+
+
 def stage_compact(wire, recs_l, counts, out_lens, wire_w, block_size,
                   hist=None):
     """Staging half of the compact-stream dispatch: sort blocks by record
@@ -956,38 +969,59 @@ def stage_compact(wire, recs_l, counts, out_lens, wire_w, block_size,
     SMEM_COMPACT_WORDS, pad each chunk's rows to a bucket (low-count row
     repeats — whole no-op groups at the minimal trip count), build the
     per-group padded streams, and move the arrays to device. Returns
-    (staged, ways, pair) with staged =
-    [(sel_p, d_wire, d_words, d_bases, d_trips, d_hist | None)]."""
+    staged = [(sel_p, ways, pair, d_wire, d_words, d_bases, d_trips,
+    d_hist | None)] — ways/pair are PER CHUNK: a dense chunk whose single
+    8-way group would alone exceed the budget (8 x ~15k records ≈
+    960 KB — past the validated envelope and near v5e's SMEM ceiling)
+    shrinks its own interleave instead (review find, round 5)."""
     use_history = hist is not None
     io_bytes = _round_up((W if use_history else 0) + block_size + SLACK,
                          1024)
     order = np.argsort(counts, kind="stable")
-    ways = plan_ways_compact(wire.shape[1], io_bytes,
-                             W if use_history else 0)
-    pair = max(1, 32 // ways)
-    # chunk the sorted order by the resident-stream budget (pair-rounded
-    # per-group padding counted exactly)
+    ways0 = plan_ways_compact(wire.shape[1], io_bytes,
+                              W if use_history else 0)
     staged = []
     i, n = 0, len(order)
     while i < n:
+        # Per-chunk interleave: ONE group must fit the resident budget.
+        # Sorted order puts the chunk's sparsest rows first, so checking
+        # the first group suffices — a later over-budget group simply
+        # starts the next chunk, where it is the first group.
+        ways = ways0
+        pair = max(1, 32 // ways)
+        while ways > 1:
+            gmax = int(counts[order[i: i + ways]].max(initial=1))
+            if _group_words(gmax, ways, pair) <= SMEM_COMPACT_WORDS:
+                break
+            ways //= 2
+            pair = max(1, 32 // ways)
+        # chunk the sorted order by the resident-stream budget
+        # (pair-rounded per-group padding counted exactly)
         j, w_words = i, 0
         while j < n:
             gmax = int(counts[order[j: j + ways]].max(initial=1))
-            g_words = 2 * (-(-max(gmax, 1) // pair) * pair) * ways
+            g_words = _group_words(gmax, ways, pair)
             if j > i and w_words + g_words > SMEM_COMPACT_WORDS:
                 break
             w_words += g_words
             j += ways
         sel = order[i: min(j, n)]
         i = min(j, n)
-        # row-count bucket (compile-cache hygiene)
+        # row-count bucket (compile-cache hygiene); pad groups cost
+        # real resident words too — fall back to plain ways-multiple
+        # padding when the bucket would bust the budget just enforced
         target = _pow2_at_least(max(len(sel), ways), ways) \
             if len(sel) <= 64 else _round_up(len(sel), 64)
+        pad_groups = (target - len(sel) + ways - 1) // ways
+        pad_words = pad_groups * _group_words(
+            int(counts[sel[0]]), ways, pair)
+        if w_words + pad_words > SMEM_COMPACT_WORDS:
+            target = _round_up(len(sel), ways)
         padn = target - len(sel)
         sel_p = np.concatenate([sel, np.full(padn, sel[0], np.int64)]) \
             if padn else sel
         words, bases, trips = build_compact_batch(
-            recs_l, counts, out_lens, sel_p, ways, pair, block_size)
+            recs_l, counts, sel_p, ways, pair, block_size)
         # bucket the stream length (compile-cache hygiene; the zero tail
         # is never read — every base+stream stays below it)
         wb = _round_up(len(words), 16384)
@@ -995,11 +1029,11 @@ def stage_compact(wire, recs_l, counts, out_lens, wire_w, block_size,
             words = np.pad(words, (0, wb - len(words)))
         wcap = _round_up(int(wire_w[sel].max(initial=0)) + SLACK, 1024)
         staged.append((
-            sel_p,
+            sel_p, ways, pair,
             jnp.asarray(np.ascontiguousarray(wire[sel_p, :wcap])),
             jnp.asarray(words), jnp.asarray(bases), jnp.asarray(trips),
             jnp.asarray(hist[sel_p]) if use_history else None))
-    return staged, ways, pair
+    return staged
 
 
 def dispatch_compact(wire, recs_l, counts, out_lens, wire_w, block_size,
@@ -1007,14 +1041,14 @@ def dispatch_compact(wire, recs_l, counts, out_lens, wire_w, block_size,
     """Compact-stream batched dispatch (stage_compact + one
     decode_blocks_wire_compact per chunk). Returns [(sel_p, out)]
     (async), outputs in dispatch-row order."""
-    staged, ways, pair = stage_compact(wire, recs_l, counts, out_lens,
-                                       wire_w, block_size, hist)
+    staged = stage_compact(wire, recs_l, counts, out_lens, wire_w,
+                           block_size, hist)
     use_history = hist is not None
     return [(sel_p,
              decode_blocks_wire_compact(dw, dwd, db, dt, block_size,
                                         use_history, dh, interpret,
                                         pair=pair, ways=ways))
-            for sel_p, dw, dwd, db, dt, dh in staged]
+            for sel_p, ways, pair, dw, dwd, db, dt, dh in staged]
 
 
 def plan_ways_wire(cap: int, rw: float, wire_bytes: int, io_bytes: int,
@@ -1138,7 +1172,10 @@ def decode_blocks_wire(wire: jax.Array, recs: jax.Array, trips: jax.Array,
 
 
 def parse_wire_batch(entries, block_size: int, window=None):
-    """Parse a batch of blocks for ``decode_blocks_wire``.
+    """Parse a batch of blocks for ``decode_blocks_wire`` (the PADDED
+    per-way-window form — wide blocks and the padded sharded tiers; the
+    compact paths use ``parse_wire_raw`` directly and skip the cap
+    padding).
 
     Args:
       entries: list of (wire_bytes u8, stored bool) per block.
@@ -1149,27 +1186,10 @@ def parse_wire_batch(entries, block_size: int, window=None):
     Returns (wire u8[nb, wire_cap], recs (u16[nb,cap,3] | u32[nb,cap,2]),
     counts i32[nb], out_lens i64[nb], hist u8[nb, W] | None).
     """
+    wire, recs_l, counts, out_lens, hist = parse_wire_raw(
+        entries, block_size, window)
     nb = len(entries)
-    hl = len(window) if window is not None and len(window) else 0
-    max_wire = max((len(c) for c, _ in entries), default=1)
-    wire_cap = _round_up(max_wire + SLACK, 1024)
-    wire = np.zeros((nb, wire_cap), np.uint8)
-    counts = np.zeros(nb, np.int32)
-    out_lens = np.zeros(nb, np.int64)
-
-    # Sequential parse, measured FASTER than a thread pool on this
-    # 2-vCPU host (5.9 vs 9.0 ms per 4 MB — pool dispatch overhead and
-    # the numpy row-copy under the GIL dominate the freed native time).
-    recs_l = []
-    for i, (c, stored) in enumerate(entries):
-        wire[i, : len(c)] = c
-        if stored:
-            r, ol = stored_wire_records(len(c)), len(c)
-        else:
-            r, ol = parse_records_wire(c, block_size, hl)
-        recs_l.append(r)
-        counts[i] = len(r)
-        out_lens[i] = ol
+    wire_cap = wire.shape[1]
     cap = _cap_bucket(max(int(counts.max(initial=0)) + 1, 2))
     narrow = block_size <= 65536 and wire_cap - SLACK <= 65536
     if narrow:
@@ -1185,10 +1205,6 @@ def parse_wire_batch(entries, block_size: int, window=None):
             if len(r):
                 recs[i, : len(r)] = r
         recs = recs.view(np.int32)
-    hist = None
-    if hl:
-        hist = np.zeros((nb, W), np.uint8)
-        hist[:, W - hl:] = window
     return wire, recs, counts, out_lens, hist
 
 

@@ -1043,33 +1043,45 @@ def stage_sharded_compact(wire, recs_l, counts, out_lens, wire_w, bs,
     nothing — no density tiers needed at narrow shapes (the padded
     per-tier machinery remains for wide blocks).
 
-    Returns (staged, ways, pair) with staged =
-    [(stripe, wire_rows, words2d, bases2d, trips2d, hist_rows | None)]
-    as HOST arrays (the shard_map wrapper device_puts with the mesh
-    sharding)."""
+    Returns staged = [(stripe, ways, pair, wire_rows, words2d, bases2d,
+    trips2d, hist_rows | None)] as HOST arrays (the shard_map wrapper
+    device_puts with the mesh sharding); ways/pair are PER CHUNK — a
+    dense chunk whose single group would bust the per-shard resident
+    budget shrinks its own interleave (see stage_compact)."""
     from ..ops.pallas_split_decode import (
-        SMEM_COMPACT_WORDS, build_compact_batch, plan_ways_compact)
+        SMEM_COMPACT_WORDS, _group_words, build_compact_batch,
+        plan_ways_compact)
     from ..ops.pallas_split_decode import SLACK as SP_SLACK
     from ..ops.pallas_split_decode import W as SP_W
     from ..ops.pallas_split_decode import _round_up as _ru
 
     use_history = hist is not None
     io_bytes = _ru((SP_W if use_history else 0) + bs + SP_SLACK, 1024)
-    ways = plan_ways_compact(wire.shape[1], io_bytes,
-                             SP_W if use_history else 0)
-    pair = max(1, 32 // ways)
+    ways0 = plan_ways_compact(wire.shape[1], io_bytes,
+                              SP_W if use_history else 0)
     order = np.argsort(counts, kind="stable")
-    unit = ndev * ways
     staged = []
     i, n = 0, len(order)
     while i < n:
+        # Per-chunk interleave (sorted order: the chunk's first band is
+        # its sparsest — an over-budget later band starts the next chunk
+        # where it is first).
+        ways = ways0
+        pair = max(1, 32 // ways)
+        while ways > 1:
+            bmax = int(counts[order[i: i + ndev * ways]].max(initial=1))
+            if _group_words(bmax, ways, pair) <= SMEM_COMPACT_WORDS:
+                break
+            ways //= 2
+            pair = max(1, 32 // ways)
+        unit = ndev * ways
         # greedy chunking by a per-shard worst-band bound: a band of
         # `unit` sorted rows stripes to ONE group per shard, each group
-        # costing at most 2 * band-max * ways words
+        # costing at most the band-max words
         j, w_bound = i, 0
         while j < n:
             bmax = int(counts[order[j: j + unit]].max(initial=1))
-            bw = 2 * (-(-max(bmax, 1) // pair) * pair) * ways
+            bw = _group_words(bmax, ways, pair)
             if j > i and w_bound + bw > SMEM_COMPACT_WORDS:
                 break
             w_bound += bw
@@ -1084,7 +1096,7 @@ def stage_sharded_compact(wire, recs_l, counts, out_lens, wire_w, bs,
         words_l, bases_l, trips_l = [], [], []
         for d in range(ndev):
             wd, bd, td = build_compact_batch(
-                recs_l, counts, out_lens, stripe[d * rpd:(d + 1) * rpd],
+                recs_l, counts, stripe[d * rpd:(d + 1) * rpd],
                 ways, pair, bs)
             words_l.append(wd)
             bases_l.append(bd)
@@ -1097,10 +1109,25 @@ def stage_sharded_compact(wire, recs_l, counts, out_lens, wire_w, bs,
         trips2d = np.stack(trips_l)
         wcap = _ru(int(wire_w[sel].max(initial=0)) + SP_SLACK, 1024)
         staged.append((
-            stripe, np.ascontiguousarray(wire[stripe, :wcap]), words2d,
+            stripe, ways, pair,
+            np.ascontiguousarray(wire[stripe, :wcap]), words2d,
             bases2d, trips2d,
             np.ascontiguousarray(hist[stripe]) if use_history else None))
-    return staged, ways, pair
+    return staged
+
+
+def _merge_sharded_pend(nb, pend, out_lens):
+    """Fetch queued sharded-decode outputs and splice rows back into
+    frame order (first occurrence wins — pads repeat a real row)."""
+    outs = [None] * nb
+    for rows, out in pend:
+        out_np = np.asarray(out)
+        for k, b in enumerate(rows):
+            if outs[b] is None:
+                outs[b] = out_np[k]
+    return np.concatenate(
+        [outs[i][: int(out_lens[i])] for i in range(nb)]) \
+        if nb else np.empty(0, np.uint8)
 
 
 def _decode_independent_split(buf, blocks, bs, window=None,
@@ -1144,21 +1171,13 @@ def _decode_independent_split(buf, blocks, bs, window=None,
             entries, bs, window)
         wire_w = np.array([size for _, size, _ in blocks], np.int64) \
             if nb else np.zeros(0, np.int64)
-        staged, c_ways, c_pair = stage_sharded_compact(
+        staged = stage_sharded_compact(
             wire, recs_l, counts, out_lens, wire_w, bs, ndev, hist)
         pend = [(stripe,
                  dec_fn_c(w_, wd_, b_, t_, h_, use_history, bs, c_ways,
                           c_pair))
-                for stripe, w_, wd_, b_, t_, h_ in staged]
-        outs = [None] * nb
-        for stripe, out in pend:
-            out_np = np.asarray(out)
-            for k, b in enumerate(stripe):
-                if outs[b] is None:
-                    outs[b] = out_np[k]
-        return np.concatenate(
-            [outs[i][: int(out_lens[i])] for i in range(nb)]) \
-            if nb else np.empty(0, np.uint8)
+                for stripe, c_ways, c_pair, w_, wd_, b_, t_, h_ in staged]
+        return _merge_sharded_pend(nb, pend, out_lens)
 
     if sharded is None and bs <= 65536 and max_wire <= 65536:
         # COMPACT-stream path (round 5): flat scalar-prefetched record
@@ -1190,15 +1209,7 @@ def _decode_independent_split(buf, blocks, bs, window=None,
         pend = stage_sharded_tiers(
             wire, recs, counts, sizes, bs, ndev, io_bytes, rw,
             use_history, hist, dec_fn, interpret)
-        outs = [None] * nb
-        for stripe, out in pend:
-            out_np = np.asarray(out)
-            for k, b in enumerate(stripe):
-                if outs[b] is None:
-                    outs[b] = out_np[k]
-        return np.concatenate(
-            [outs[i][: int(out_lens[i])] for i in range(nb)]) \
-            if nb else np.empty(0, np.uint8)
+        return _merge_sharded_pend(nb, pend, out_lens)
 
     CH = _FRAME_CHUNK_ROWS_DEC
     pend = []

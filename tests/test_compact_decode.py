@@ -90,10 +90,11 @@ def test_stage_sharded_compact_shard_streams_are_local():
     comps = [np.asarray(lz4.compress_raw(p)) for p in blocks]
     wire, recs_l, counts, out_lens, _ = parse_wire_raw(
         [(c, False) for c in comps], bs)
-    staged, ways, pair = stage_sharded_compact(
+    staged = stage_sharded_compact(
         wire, recs_l, counts, out_lens,
         np.array([len(c) for c in comps]), bs, 4)
-    for stripe, wire_rows, words2d, bases2d, trips2d, _ in staged:
+    for stripe, ways, pair, wire_rows, words2d, bases2d, trips2d, _ \
+            in staged:
         ndev, L = words2d.shape
         assert ndev == 4
         rpd = len(stripe) // ndev
@@ -108,6 +109,45 @@ def test_stage_sharded_compact_shard_streams_are_local():
                 for r in range(ways):
                     base = int(bases2d[d, g * ways + r])
                     assert base + 2 * tp <= L
+
+
+def test_stage_compact_dense_group_respects_smem_budget():
+    """A batch of DENSE 64 KB blocks (~15k records each) must not stage a
+    single group past SMEM_COMPACT_WORDS: one 8-way group of such rows
+    costs ~960 KB resident — past the validated envelope — so the chunk
+    shrinks its own ways instead (round-5 review find). Decode stays
+    bit-exact at the shrunken interleave."""
+    from divortio_lz4_tpu.ops.pallas_split_decode import (
+        SMEM_COMPACT_WORDS, _group_words, stage_compact)
+    rng = np.random.default_rng(7)
+    bs = 65536
+    blocks = [rng.integers(0, 4, bs).astype(np.uint8) for _ in range(8)]
+    comps = [np.asarray(lz4.compress_raw(p)) for p in blocks]
+    assert all(len(c) < bs for c in comps)
+    wire, recs_l, counts, out_lens, _ = parse_wire_raw(
+        [(c, False) for c in comps], bs)
+    assert counts.min() > 8192  # genuinely dense rows
+    staged = stage_compact(wire, recs_l, counts, out_lens,
+                           np.array([len(c) for c in comps]), bs)
+    for sel_p, ways, pair, dw, dwd, db, dt, _ in staged:
+        assert ways < 8  # the guard shrank the interleave
+        # every chunk's unbucketed stream stays within budget
+        total = 0
+        for g in range(len(sel_p) // ways):
+            gmax = int(counts[sel_p[g * ways:(g + 1) * ways]].max())
+            total += _group_words(gmax, ways, pair)
+        assert total <= SMEM_COMPACT_WORDS, (total, ways)
+    # and the shrunken dispatch still decodes bit-exact
+    pend = dispatch_compact(wire, recs_l, counts, out_lens,
+                            np.array([len(c) for c in comps]), bs, True)
+    res = [None] * len(blocks)
+    for sel_p, out in pend:
+        o = np.asarray(out)
+        for k, b in enumerate(sel_p):
+            if res[b] is None:
+                res[b] = o[k][: int(out_lens[b])]
+    for i, p in enumerate(blocks):
+        np.testing.assert_array_equal(res[i], p)
 
 
 def test_compact_kernel_hostile_records_stay_bounded():
